@@ -1,0 +1,118 @@
+"""Synthetic depth-sequence generator for tests and benchmarks.
+
+The reference has no synthetic data path (its unit tests use analytic
+fields, its end-to-end tests use ICL-NUIM downloads). A closed-form
+scene (sphere + walls rendered by exact ray intersection) lets this repo
+gate the full pipeline — allocation, fusion, ICP, raycast — without any
+dataset, on CI or TPU, with exact ground-truth poses and depth.
+"""
+
+import numpy as np
+
+
+def _ray_grid(width, height, k):
+    fx, fy, cx, cy = k
+    xs = (np.arange(width) - cx) / fx
+    ys = (np.arange(height) - cy) / fy
+    dx, dy = np.meshgrid(xs, ys, indexing="xy")
+    d = np.stack([dx, dy, np.ones_like(dx)], axis=-1)
+    return d
+
+
+def render_depth(pose, k, width=320, height=240,
+                 sphere_center=(0.0, 0.0, 0.0), sphere_radius=0.5,
+                 box_min=None, box_max=None):
+    """Exact depth render of a sphere inside an axis-aligned room.
+
+    pose: camera-to-world 4x4. Returns f32 [H, W] depth (z-depth, meters),
+    0 where no hit.
+    """
+    rays_cam = _ray_grid(width, height, k)
+    R, t = pose[:3, :3], pose[:3, 3]
+    rays = rays_cam @ R.T
+    norm = np.linalg.norm(rays, axis=-1)
+    dirs = rays / norm[..., None]
+    origin = t
+
+    t_hit = np.full((height, width), np.inf)
+
+    # sphere
+    oc = origin - np.asarray(sphere_center)
+    b = np.sum(dirs * oc, axis=-1)
+    c = np.dot(oc, oc) - sphere_radius ** 2
+    disc = b * b - c
+    mask = disc >= 0
+    th = -b - np.sqrt(np.maximum(disc, 0.0))
+    t_hit = np.where(mask & (th > 0), np.minimum(t_hit, th), t_hit)
+
+    # room interior walls
+    if box_min is not None:
+        box_min = np.asarray(box_min, np.float64)
+        box_max = np.asarray(box_max, np.float64)
+        safe = np.where(np.abs(dirs) < 1e-12, 1e-12, dirs)
+        for axis in range(3):
+            for bound in (box_min[axis], box_max[axis]):
+                tw = (bound - origin[axis]) / safe[..., axis]
+                p = origin + tw[..., None] * dirs
+                others = [a for a in range(3) if a != axis]
+                inside = np.ones_like(tw, bool)
+                for a in others:
+                    inside &= (p[..., a] >= box_min[a] - 1e-9) \
+                        & (p[..., a] <= box_max[a] + 1e-9)
+                ok = inside & (tw > 0)
+                t_hit = np.where(ok, np.minimum(t_hit, tw), t_hit)
+
+    # ray length -> z-depth: the camera-frame ray has z == 1 before
+    # normalization, so the hit's camera z is t_hit / |rays_cam|.
+    zdepth = np.where(np.isfinite(t_hit), t_hit / norm, 0.0)
+    return zdepth.astype(np.float32)
+
+
+def look_at(eye, target, up=(0.0, 1.0, 0.0)):
+    """Camera-to-world pose with +z looking from eye toward target.
+
+    Uses the depth-camera convention (x right, y down, z forward), so
+    ``up`` is negated into the y axis.
+    """
+    eye = np.asarray(eye, np.float64)
+    fwd = np.asarray(target, np.float64) - eye
+    fwd /= np.linalg.norm(fwd)
+    upv = -np.asarray(up, np.float64)
+    right = np.cross(upv, fwd)
+    if np.linalg.norm(right) < 1e-9:
+        right = np.array([1.0, 0.0, 0.0])
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    T = np.eye(4)
+    T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = right, down, fwd, eye
+    return T.astype(np.float32)
+
+
+def orbit_sequence(n_frames, k, width=320, height=240, radius=1.6,
+                   center=(1.0, 1.0, 1.0), sphere_radius=0.5,
+                   angle_span=0.8, room=None):
+    """Orbiting-camera sequence around a sphere at ``center``.
+
+    Returns (depths [N,H,W] f32 meters, poses [N,4,4] camera-to-world).
+    """
+    depths, poses = [], []
+    for i in range(n_frames):
+        # quadratic ease-in: the first frames are nearly static, matching
+        # how real sequences start and giving the pipeline its bootstrap
+        # window (raycast maps only exist from frame 3)
+        u = i / max(n_frames - 1, 1)
+        ang = angle_span * u * u
+        eye = (center[0] + radius * np.sin(ang),
+               center[1] + 0.1 * np.sin(2 * ang),
+               center[2] - radius * np.cos(ang))
+        pose = look_at(eye, center)
+        if room is None:
+            box_min = box_max = None
+        else:
+            box_min, box_max = room
+        d = render_depth(pose, k, width, height, sphere_center=center,
+                         sphere_radius=sphere_radius,
+                         box_min=box_min, box_max=box_max)
+        depths.append(d)
+        poses.append(pose)
+    return np.stack(depths), np.stack(poses)

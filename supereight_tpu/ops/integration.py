@@ -1,0 +1,166 @@
+"""Projective map integration (fusion).
+
+Behavioral reference: se::functor::projective_functor
+(se_core/include/se/functors/projective_functor.hpp:54-156): gather the
+active+in-frustum block list, update every voxel of those blocks with the
+field functor, then update the coarse node values.
+
+TPU design: the active list is a fixed-budget compaction (prefix sum over
+the slot mask, like the reference's parallel filter,
+algorithms/filter.hpp:61-107); the per-block 8x8x8 voxel update is a
+single batched program of shape [budget, 512] (maps onto the VPU); the
+node pass is a dense update over each mip level gated by mip_alloc.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from supereight_tpu.constants import BLOCK_SIDE, BLOCK_VOXELS
+from supereight_tpu.core import se3
+from supereight_tpu.fields import tsdf as tsdf_field
+from supereight_tpu.fields import ofusion as ofusion_field
+
+# local voxel offsets in brick-linear order (x + 8y + 64z)
+_LIN = jnp.arange(BLOCK_VOXELS, dtype=jnp.int32)
+_LOCAL = jnp.stack([_LIN % 8, (_LIN // 8) % 8, _LIN // 64], axis=-1)
+
+
+def in_frustum_mask(geom, state, t_cw, k, frame_size):
+    """Per-slot frustum predicate (ref algorithms::in_frustum,
+    filter.hpp:37-49): project the block's origin corner."""
+    w, h = frame_size
+    origin_m = (state.block_coord * BLOCK_SIDE).astype(jnp.float32) \
+        * geom.voxel_size
+    cam = se3.transform(t_cw, origin_m)
+    pix = se3.transform(k, cam)
+    z = jnp.where(pix[..., 2] == 0, 1e-12, pix[..., 2])
+    px = (pix[..., 0] / z).astype(jnp.int32)
+    py = (pix[..., 1] / z).astype(jnp.int32)
+    return (z > 0) & (px >= 0) & (px < w) & (py >= 0) & (py < h)
+
+
+def build_active_worklist(geom, state, t_cw, k, frame_size, budget: int):
+    """Fixed-budget compaction of active ∩ in-frustum slots
+    (ref build_active_list, projective_functor.hpp:54-71).
+
+    Returns i32[budget] slot ids; empty entries = capacity (dropped on
+    scatter)."""
+    cap = geom.capacity
+    slot_ids = jnp.arange(cap, dtype=jnp.int32)
+    allocated = slot_ids < state.n_blocks
+    mask = allocated & state.active & in_frustum_mask(geom, state, t_cw, k,
+                                                      frame_size)
+    order = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask & (order < budget), order, budget)
+    worklist = jnp.full((budget,), cap, jnp.int32)
+    return worklist.at[dest].set(slot_ids, mode="drop")
+
+
+def _project_voxels(geom, pos_world_m, t_cw, k, frame_size):
+    """Camera-frame position + pixel coords + validity for sample points.
+
+    Mirrors update_block's projection (projective_functor.hpp:85-103):
+    pixel = K*pos / z + 0.5, valid when z >= 1e-4 and pixel in
+    [0.5, size-1.5]."""
+    w, h = frame_size
+    pos_cam = se3.transform(t_cw, pos_world_m)
+    cam_pix = se3.transform(k, pos_cam)
+    z = pos_cam[..., 2]
+    safe = jnp.where(cam_pix[..., 2] == 0, 1e-12, cam_pix[..., 2])
+    px = cam_pix[..., 0] / safe + 0.5
+    py = cam_pix[..., 1] / safe + 0.5
+    valid = ((z >= 1e-4)
+             & (px >= 0.5) & (px <= w - 1.5)
+             & (py >= 0.5) & (py <= h - 1.5))
+    return pos_cam, px, py, valid
+
+
+def _sample_depth(depth, px, py):
+    """Nearest-neighbour depth fetch at truncated pixel coords
+    (ref sdf_update/bfusion_update: depth[int(pixel)])."""
+    h, w = depth.shape
+    xi = jnp.clip(px.astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(py.astype(jnp.int32), 0, h - 1)
+    return depth[yi, xi]
+
+
+def _field_update(field, old_x, old_y, pos_cam, depth_sample, valid, *,
+                  mu, timestamp, voxel_size):
+    if field.name == "tsdf":
+        return tsdf_field.update(old_x, old_y, pos_cam, depth_sample, mu,
+                                 valid)
+    return ofusion_field.update(old_x, old_y, pos_cam, depth_sample, mu,
+                                timestamp, voxel_size, valid)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("geom", "field", "frame_size", "budget"))
+def integrate(geom, state, field, depth, pose, k, mu, timestamp,
+              frame_size, budget: int):
+    """One fusion pass: block update + node (mip) update
+    (ref projective_functor::apply, projective_functor.hpp:139-156).
+
+    ``pose`` is camera-to-world; the functor uses its inverse (ref
+    DenseSLAMSystem.cpp:237). Returns the new map state.
+    """
+    t_cw = se3.inverse(pose)
+    K = se3.camera_matrix(k)
+    cap = geom.capacity
+
+    # ---- block pass -----------------------------------------------------
+    wl = build_active_worklist(geom, state, t_cw, K, frame_size, budget)
+    present = wl < cap
+    slots = jnp.minimum(wl, cap - 1)
+
+    bc = state.block_coord[slots]                       # [budget, 3]
+    vox = bc[:, None, :] * BLOCK_SIDE + _LOCAL[None]    # [budget, 512, 3]
+    pos_world = vox.astype(jnp.float32) * geom.voxel_size
+    pos_cam, px, py, valid = _project_voxels(geom, pos_world, t_cw, K,
+                                             frame_size)
+    valid = valid & present[:, None]
+    depth_sample = _sample_depth(depth, px, py)
+
+    old_x = state.data_x[slots]
+    old_y = state.data_y[slots]
+    new_x, new_y, _ = _field_update(field, old_x, old_y, pos_cam,
+                                    depth_sample, valid, mu=mu,
+                                    timestamp=timestamp,
+                                    voxel_size=geom.voxel_size)
+    wl_or_drop = jnp.where(present, wl, cap)
+    data_x = state.data_x.at[wl_or_drop].set(new_x, mode="drop")
+    data_y = state.data_y.at[wl_or_drop].set(new_y, mode="drop")
+
+    # visibility: block stays active iff any voxel projected into the frame
+    # (ref update_block sets block->active(is_visible),
+    # projective_functor.hpp:104-110)
+    visible = jnp.any(valid, axis=1)
+    active = state.active.at[wl_or_drop].set(visible, mode="drop")
+
+    state = state._replace(data_x=data_x, data_y=data_y, active=active)
+
+    # ---- node (coarse mip) pass ----------------------------------------
+    # ref update_node (projective_functor.hpp:113-137): every existing
+    # coarse value slot is re-fused at its octant origin corner.
+    new_mips_x, new_mips_y = [], []
+    for lvl in range(geom.num_levels):
+        side = geom.blocks_per_side >> lvl
+        octant_vox = BLOCK_SIDE << lvl
+        g = jnp.arange(side, dtype=jnp.int32)
+        gx, gy, gz = jnp.meshgrid(g, g, g, indexing="ij")
+        coords = jnp.stack([gx, gy, gz], axis=-1)
+        pos_world = coords.astype(jnp.float32) * (octant_vox
+                                                  * geom.voxel_size)
+        pos_cam, px, py, valid = _project_voxels(geom, pos_world, t_cw, K,
+                                                 frame_size)
+        valid = valid & state.mip_alloc[lvl]
+        ds = _sample_depth(depth, px, py)
+        nx, ny, _ = _field_update(field, state.mip_x[lvl], state.mip_y[lvl],
+                                  pos_cam, ds, valid, mu=mu,
+                                  timestamp=timestamp,
+                                  voxel_size=geom.voxel_size)
+        new_mips_x.append(nx)
+        new_mips_y.append(ny)
+
+    return state._replace(mip_x=tuple(new_mips_x), mip_y=tuple(new_mips_y))

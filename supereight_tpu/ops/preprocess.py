@@ -1,0 +1,119 @@
+"""Depth preprocessing kernels.
+
+Behavioral reference: se_denseslam/src/preprocessing.cpp. All kernels are
+batched image ops (VPU-shaped; XLA fuses the stencil arithmetic). The
+OpenMP pixel loops become array programs over [H, W].
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from supereight_tpu.constants import DELTA, E_DELTA, INVALID, RADIUS
+
+
+def mm2meters(depth_mm, out_hw):
+    """u16 millimeters -> f32 meters, with integer subsampling.
+
+    Mirrors mm2metersKernel (preprocessing.cpp:161-188): plain strided
+    point sampling (no averaging).
+    """
+    h, w = out_hw
+    ratio = depth_mm.shape[1] // w
+    assert depth_mm.shape[0] // h == ratio
+    return depth_mm[::ratio, ::ratio].astype(jnp.float32) / 1000.0
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def bilateral_filter(depth, e_d=E_DELTA, delta=DELTA, radius=RADIUS):
+    """Edge-preserving gaussian x range filter (preprocessing.cpp:42-89).
+
+    Zero-depth pixels stay zero and are excluded from neighbourhoods;
+    edge pixels clamp (replicate) like the reference's clamped indexing.
+    """
+    h, w = depth.shape
+    gaussian = jnp.exp(-(jnp.arange(-radius, radius + 1) ** 2)
+                       / (2.0 * delta * delta))
+    e_d_sq_2 = 2.0 * e_d * e_d
+    pad = jnp.pad(depth, radius, mode="edge")
+    t = jnp.zeros_like(depth)
+    s = jnp.zeros_like(depth)
+    for i in range(-radius, radius + 1):
+        for j in range(-radius, radius + 1):
+            cur = jax.lax.dynamic_slice(pad, (i + radius, j + radius), (h, w))
+            mod = (cur - depth) ** 2
+            factor = (gaussian[i + radius] * gaussian[j + radius]
+                      * jnp.exp(-mod / e_d_sq_2))
+            factor = jnp.where(cur > 0, factor, 0.0)
+            t = t + factor * cur
+            s = s + factor
+    out = t / jnp.where(s == 0, 1.0, s)
+    return jnp.where(depth == 0, 0.0, out)
+
+
+@jax.jit
+def half_sample_robust(depth, e_d):
+    """Robust 2x downsample (preprocessing.cpp:190-226).
+
+    2x2 window around each center pixel; samples further than e_d from the
+    center are excluded from the average.
+    """
+    h, w = depth.shape
+    center = depth[0::2, 0::2]
+    t = jnp.zeros_like(center)
+    s = jnp.zeros_like(center)
+    # reference window: i, j in [-r+1, r] with r=1 -> offsets {0, 1}
+    for di in (0, 1):
+        for dj in (0, 1):
+            cur = depth[jnp.clip(jnp.arange(0, h, 2) + di, 0, h - 1)][:,
+                  jnp.clip(jnp.arange(0, w, 2) + dj, 0, w - 1)]
+            take = jnp.abs(cur - center) < e_d
+            t = t + jnp.where(take, cur, 0.0)
+            s = s + take.astype(depth.dtype)
+    return t / jnp.where(s == 0, 1.0, s)
+
+
+def depth2vertex(depth, inv_k):
+    """Back-project depth to camera-frame vertices (preprocessing.cpp:91-111).
+
+    Returns [H, W, 3]; zero-depth pixels map to (0,0,0).
+    """
+    h, w = depth.shape
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    px = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy") +
+                   [jnp.ones((h, w), jnp.float32)], axis=-1)
+    rays = jnp.einsum("ij,hwj->hwi", inv_k[:3, :3], px,
+                      precision=jax.lax.Precision.HIGHEST)
+    v = depth[..., None] * rays
+    return jnp.where(depth[..., None] > 0, v, 0.0)
+
+
+def vertex2normal(vertex, neg_y: bool):
+    """Central-difference normals (preprocessing.cpp:113-159).
+
+    neg_y swaps the vertical difference direction for ICL-NUIM's
+    left-handed frame (selected when fy < 0, DenseSLAMSystem.cpp:159-162).
+    Invalid pixels get normal.x = INVALID like the reference sentinel.
+    Returns ([H, W, 3] normals, [H, W] valid mask).
+    """
+    left = jnp.concatenate([vertex[:, :1], vertex[:, :-1]], axis=1)
+    right = jnp.concatenate([vertex[:, 1:], vertex[:, -1:]], axis=1)
+    row_prev = jnp.concatenate([vertex[:1], vertex[:-1]], axis=0)
+    row_next = jnp.concatenate([vertex[1:], vertex[-1:]], axis=0)
+    if neg_y:
+        up, down = row_prev, row_next
+    else:
+        up, down = row_next, row_prev
+    dxv = right - left
+    dyv = up - down
+    n = jnp.cross(dxv, dyv)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.where(norm == 0, 1.0, norm)
+    valid = ((vertex[..., 2] != 0)
+             & (left[..., 2] != 0) & (right[..., 2] != 0)
+             & (up[..., 2] != 0) & (down[..., 2] != 0))
+    n = jnp.where(valid[..., None], n,
+                  jnp.array([INVALID, 0.0, 0.0], vertex.dtype))
+    return n, valid

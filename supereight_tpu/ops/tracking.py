@@ -1,0 +1,193 @@
+"""Projective-ICP camera tracking.
+
+Behavioral reference: se_denseslam/src/tracking.cpp. Per-pixel
+point-to-plane residuals against the previous frame's raycast
+(trackKernel, 226-302), a 32-float reduction (reduceKernel, 66-224), a
+6x6 normal-equation solve + SE3 update (updatePoseKernel, 304-318) and
+divergence rollback (checkPoseKernel, 320-336).
+
+On TPU the residual pass is one fused elementwise+gather program per
+iteration, the reduction is a single jnp.sum (psum across devices in the
+sharded pipeline), and the tiny 6x6 solve runs per-step. The
+coarse-to-fine iteration loop is a lax.while_loop with an early-exit
+convergence flag, so one compiled program per pyramid level.
+"""
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from supereight_tpu.constants import (DIST_THRESHOLD, INVALID,
+                                      NORMAL_THRESHOLD, TRACK_BAD_NORMAL,
+                                      TRACK_NO_INPUT, TRACK_NO_REF_NORMAL,
+                                      TRACK_OK, TRACK_OUT_OF_FRAME,
+                                      TRACK_TOO_FAR, TRACK_THRESHOLD)
+from supereight_tpu.core import se3
+
+# Upper-triangle index pairs of the 6x6 JtJ, row-major — the layout
+# makeJTJ (tracking.cpp:42-55) expects in the 21-vector.
+_TRIU = [(r, c) for r in range(6) for c in range(r, 6)]
+
+
+def track_residuals(in_vertex, in_normal, in_valid, ref_vertex, ref_normal,
+                    ref_valid, t_track, view,
+                    dist_threshold=DIST_THRESHOLD,
+                    normal_threshold=NORMAL_THRESHOLD):
+    """Per-pixel point-to-plane residual + jacobian (trackKernel, 226-302).
+
+    in_*: current-frame maps at one pyramid level [h, w, ...] (camera frame).
+    ref_*: previous raycast maps at full resolution [H, W, ...] (world frame).
+    t_track: current camera-to-world pose estimate.
+    view: K @ raycast_pose^-1 (projects world points into the ref image).
+    Returns (result i32[h,w], error f32[h,w], J f32[h,w,6]).
+    """
+    ref_h, ref_w = ref_vertex.shape[:2]
+
+    projected_vertex = se3.transform(t_track, in_vertex)        # world frame
+    projected_pos = se3.transform(view, projected_vertex)
+    pz = projected_pos[..., 2]
+    safe_z = jnp.where(pz == 0, 1.0, pz)
+    proj_px = projected_pos[..., 0] / safe_z + 0.5
+    proj_py = projected_pos[..., 1] / safe_z + 0.5
+    in_frame = ((proj_px >= 0) & (proj_px <= ref_w - 1)
+                & (proj_py >= 0) & (proj_py <= ref_h - 1))
+
+    rx = jnp.clip(proj_px.astype(jnp.int32), 0, ref_w - 1)
+    ry = jnp.clip(proj_py.astype(jnp.int32), 0, ref_h - 1)
+    reference_normal = ref_normal[ry, rx]
+    reference_vertex = ref_vertex[ry, rx]
+    ref_ok = ref_valid[ry, rx]
+
+    diff = reference_vertex - projected_vertex
+    projected_normal = se3.rotate(t_track, in_normal)
+    dist = jnp.linalg.norm(diff, axis=-1)
+    ndot = jnp.sum(projected_normal * reference_normal, axis=-1)
+
+    # rejection cascade, in reference order (-1 .. -5)
+    result = jnp.full(in_vertex.shape[:2], TRACK_OK, jnp.int32)
+    result = jnp.where(ndot < normal_threshold, TRACK_BAD_NORMAL, result)
+    result = jnp.where(dist > dist_threshold, TRACK_TOO_FAR, result)
+    result = jnp.where(~ref_ok, TRACK_NO_REF_NORMAL, result)
+    result = jnp.where(~in_frame, TRACK_OUT_OF_FRAME, result)
+    result = jnp.where(~in_valid, TRACK_NO_INPUT, result)
+
+    error = jnp.sum(reference_normal * diff, axis=-1)
+    j_rot = jnp.cross(projected_vertex, reference_normal)
+    jac = jnp.concatenate([reference_normal, j_rot], axis=-1)
+    ok = result == TRACK_OK
+    error = jnp.where(ok, error, 0.0)
+    jac = jnp.where(ok[..., None], jac, 0.0)
+    return result, error, jac
+
+
+def reduce_tracking(result, error, jac):
+    """Masked reduction to the reference's 32-float layout (reduceKernel).
+
+    [0]=sum err^2, [1:7]=J^T e, [7:28]=upper-tri J^T J, [28]=inliers,
+    [29]=#too-far, [30]=#bad-normal, [31]=#other-rejects.
+    """
+    ok = (result == TRACK_OK).astype(jnp.float32)
+    vals = [jnp.sum(ok * error * error)]
+    for i in range(6):
+        vals.append(jnp.sum(ok * error * jac[..., i]))
+    for r, c in _TRIU:
+        vals.append(jnp.sum(ok * jac[..., r] * jac[..., c]))
+    vals.append(jnp.sum(ok))
+    vals.append(jnp.sum((result == TRACK_TOO_FAR).astype(jnp.float32)))
+    vals.append(jnp.sum((result == TRACK_BAD_NORMAL).astype(jnp.float32)))
+    vals.append(jnp.sum(((result < 1) & (result > TRACK_TOO_FAR))
+                        .astype(jnp.float32)))
+    return jnp.stack(vals)
+
+
+def make_jtj(v21):
+    """21-vector -> symmetric 6x6 (makeJTJ, tracking.cpp:42-55)."""
+    C = jnp.zeros((6, 6))
+    idx = 0
+    for r, c in _TRIU:
+        C = C.at[r, c].set(v21[idx])
+        idx += 1
+    return C + jnp.triu(C, 1).T
+
+
+def solve_normal_equations(reduction):
+    """x = (J^T J)^{-1} J^T e from the 32-vector (solve, tracking.cpp:57-64).
+
+    A failed (non-finite) solve returns zeros, matching the reference's
+    LLT-failure fallback.
+    """
+    b = reduction[1:7]
+    C = make_jtj(reduction[7:28])
+    L, lower = jax.scipy.linalg.cho_factor(C, lower=True)
+    x = jax.scipy.linalg.cho_solve((L, lower), b)
+    finite = jnp.all(jnp.isfinite(x))
+    return jnp.where(finite, x, 0.0)
+
+
+def update_pose(pose, reduction, icp_threshold):
+    """Apply one GN step (updatePoseKernel, 304-318).
+
+    Returns (new_pose, converged).
+    """
+    x = solve_normal_equations(reduction)
+    delta = se3.exp(x)
+    new_pose = jnp.matmul(delta, pose, precision=jax.lax.Precision.HIGHEST)
+    return new_pose, jnp.linalg.norm(x) < icp_threshold
+
+
+def check_pose(pose, old_pose, reduction, image_size,
+               track_threshold=TRACK_THRESHOLD):
+    """Accept or roll back the tracked pose (checkPoseKernel, 320-336).
+
+    Returns (pose, tracked: bool).
+    """
+    n_inliers = reduction[28]
+    rms = jnp.sqrt(reduction[0] / jnp.where(n_inliers == 0, 1.0, n_inliers))
+    total = image_size[0] * image_size[1]
+    bad = (rms > 2e-2) | (n_inliers / total < track_threshold) \
+        | (n_inliers == 0)
+    return jnp.where(bad, old_pose, pose), ~bad
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def track(pose, raycast_pose, k_full, pyr_vertex, pyr_normal, pyr_valid,
+          ref_vertex, ref_normal, ref_valid,
+          iterations: Sequence[int], icp_threshold):
+    """Full coarse-to-fine ICP (DenseSLAMSystem::tracking, 143-189).
+
+    pyr_*: tuples of per-level maps, finest first. Returns
+    (new_pose, tracked, final_reduction, result_map_finest).
+    """
+    view = jnp.matmul(se3.camera_matrix(k_full), se3.inverse(raycast_pose),
+                      precision=jax.lax.Precision.HIGHEST)
+    old_pose = pose
+    reduction = jnp.zeros((32,))
+    result_fine = jnp.zeros(pyr_vertex[0].shape[:2], jnp.int32)
+
+    for level in range(len(iterations) - 1, -1, -1):
+        iv, inorm, ival = pyr_vertex[level], pyr_normal[level], pyr_valid[level]
+
+        def body(carry):
+            pose, reduction, result, i, done = carry
+            res, err, jac = track_residuals(iv, inorm, ival, ref_vertex,
+                                            ref_normal, ref_valid, pose, view)
+            red = reduce_tracking(res, err, jac)
+            new_pose, converged = update_pose(pose, red, icp_threshold)
+            return (new_pose, red, res, i + 1, converged)
+
+        def cond(carry):
+            _, _, _, i, done = carry
+            return (i < iterations[level]) & ~done
+
+        result0 = jnp.zeros(iv.shape[:2], jnp.int32)
+        pose, reduction, result, _, _ = jax.lax.while_loop(
+            cond, body, (pose, reduction, result0, jnp.int32(0),
+                         jnp.bool_(False)))
+        if level == 0:
+            result_fine = result
+
+    image_size = ref_vertex.shape[:2]
+    pose, tracked = check_pose(pose, old_pose, reduction, image_size)
+    return pose, tracked, reduction, result_fine

@@ -1,0 +1,228 @@
+"""The dense SLAM pipeline orchestrator.
+
+Behavioral reference: DenseSLAMSystem
+(se_denseslam/include/se/DenseSLAMSystem.h:58-411 and
+src/DenseSLAMSystem.cpp). The class is a thin stateful shell over jitted
+functional stages; all per-frame state (map, poses, pyramid maps, raycast
+maps) lives in JAX arrays so a full frame can run on-device end to end.
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from supereight_tpu import constants as C
+from supereight_tpu.config import Configuration, default_camera
+from supereight_tpu.core import se3
+from supereight_tpu.core.map import MapGeometry, make_map
+from supereight_tpu.fields import get_field
+from supereight_tpu.ops import allocation, integration, preprocess, raycast, \
+    tracking
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "neg_y", "filter_input"))
+def _preprocess_and_pyramid(depth_m, k, levels: int, neg_y: bool,
+                            filter_input: bool):
+    """Filter + build the depth/vertex/normal pyramid
+    (ref DenseSLAMSystem::preprocessing + tracking's pyramid prep,
+    DenseSLAMSystem.cpp:128-164)."""
+    if filter_input:
+        d0 = preprocess.bilateral_filter(depth_m)
+    else:
+        d0 = depth_m
+    depths = [d0]
+    for _ in range(1, levels):
+        depths.append(preprocess.half_sample_robust(depths[-1],
+                                                    C.E_DELTA * 3.0))
+    verts, norms, valids = [], [], []
+    for i, d in enumerate(depths):
+        inv_k = se3.inverse_camera_matrix(k / (1 << i))
+        v = preprocess.depth2vertex(d, inv_k)
+        n, ok = preprocess.vertex2normal(v, neg_y)
+        verts.append(v)
+        norms.append(n)
+        valids.append(ok)
+    return tuple(depths), tuple(verts), tuple(norms), tuple(valids)
+
+
+class DenseSLAMSystem:
+    """Stateful pipeline facade (ref DenseSLAMSystem.h:58-411)."""
+
+    def __init__(self, input_size: Tuple[int, int],
+                 config: Configuration,
+                 init_pose: Optional[np.ndarray] = None):
+        self.config = config
+        w, h = input_size
+        r = config.compute_size_ratio
+        self.computation_size = (w // r, h // r)
+
+        cam = config.camera or default_camera(w, h)
+        self.k = jnp.asarray(cam, jnp.float32) / r
+
+        self.field = get_field(config.field)
+        self.geom = MapGeometry(size=config.volume_resolution,
+                                dim=config.volume_size,
+                                capacity=config.resolve_capacity())
+        self.budget = config.resolve_budget()
+        self.map = make_map(self.geom, self.field)
+
+        if init_pose is None:
+            t = np.asarray(config.initial_pos_factor) * config.volume_size
+            init_pose = np.eye(4, dtype=np.float32)
+            init_pose[:3, 3] = t
+        self.pose = jnp.asarray(init_pose, jnp.float32)
+        self.init_pose = self.pose
+        self.old_pose = self.pose
+        self.raycast_pose = self.pose
+
+        cw, ch = self.computation_size
+        self.float_depth = jnp.zeros((ch, cw), jnp.float32)
+        self.vertex = jnp.zeros((ch, cw, 3), jnp.float32)
+        self.normal = jnp.zeros((ch, cw, 3), jnp.float32)
+        self.valid = jnp.zeros((ch, cw), bool)
+        self.pyr = None
+        self.reduction = jnp.zeros((32,), jnp.float32)
+        self.track_result = jnp.zeros((ch, cw), jnp.int32)
+
+        self._iterations = tuple(config.pyramid)
+        self._neg_y = float(self.k[1]) < 0
+
+    # ------------------------------------------------------------------
+    # pipeline stages (ref DenseSLAMSystem.cpp:128-268)
+    # ------------------------------------------------------------------
+    def preprocessing(self, depth, is_mm: bool = True) -> bool:
+        """depth: [H, W] u16 mm (is_mm) or f32 meters at input size."""
+        if is_mm:
+            depth_m = preprocess.mm2meters(
+                jnp.asarray(depth), (self.computation_size[1],
+                                     self.computation_size[0]))
+        else:
+            d = jnp.asarray(depth, jnp.float32)
+            r = self.config.compute_size_ratio
+            depth_m = d[::r, ::r]
+        self.float_depth = depth_m
+        self.pyr = _preprocess_and_pyramid(
+            depth_m, self.k, len(self._iterations), self._neg_y,
+            self.config.filter_input)
+        return True
+
+    def tracking(self, frame: int) -> bool:
+        if frame % self.config.tracking_rate != 0:
+            return False
+        self.old_pose = self.pose
+        _, verts, norms, valids = self.pyr
+        pose, tracked, reduction, result = tracking.track(
+            self.pose, self.raycast_pose, self.k, verts, norms, valids,
+            self.vertex, self.normal, self.valid,
+            self._iterations, self.config.icp_threshold)
+        self.pose = pose
+        self.reduction = reduction
+        self.track_result = result
+        return bool(tracked)
+
+    def integration(self, frame: int) -> bool:
+        if not (frame % self.config.integration_rate == 0 or frame <= 3):
+            return False
+        depths = self.pyr[0]
+        if self.field.multiscale_alloc:
+            self.map = allocation.allocate_ofusion(
+                self.geom, self.map, depths[0], self.pose, self.k,
+                self.config.mu)
+        else:
+            self.map = allocation.allocate_tsdf(
+                self.geom, self.map, depths[0], self.pose, self.k,
+                self.config.mu)
+        timestamp = (1.0 / 30.0) * frame
+        self.map = integration.integrate(
+            self.geom, self.map, self.field, self.float_depth, self.pose,
+            self.k, self.config.mu, timestamp, self.computation_size,
+            self.budget)
+        return True
+
+    def raycasting(self, frame: int) -> bool:
+        if frame <= 2:
+            return False
+        self.raycast_pose = self.pose
+        view = jnp.matmul(self.raycast_pose,
+                          se3.inverse_camera_matrix(self.k),
+                          precision=jax.lax.Precision.HIGHEST)
+        self.vertex, self.normal, self.valid = raycast.raycast(
+            self.geom, self.map, self.field, view, self.config.mu,
+            self.computation_size)
+        return True
+
+    def process_frame(self, depth, frame: int, is_mm: bool = True,
+                      gt_pose: Optional[np.ndarray] = None) -> dict:
+        """One full frame (ref benchmark.cpp:115-177 / mainQt.cpp:201-313).
+
+        gt_pose: ground-truth camera-to-world pose; when given, tracking is
+        bypassed (ref mainQt.cpp:257-265 setPose path).
+        """
+        self.preprocessing(depth, is_mm=is_mm)
+        if gt_pose is not None:
+            self.pose = jnp.asarray(gt_pose, jnp.float32)
+            tracked = True
+        else:
+            tracked = self.tracking(frame)
+        integrated = False
+        if tracked or frame <= 3:
+            integrated = self.integration(frame)
+        raycasted = self.raycasting(frame)
+        return {"tracked": tracked, "integrated": integrated,
+                "raycasted": raycasted}
+
+    # ------------------------------------------------------------------
+    # rendering + export (ref DenseSLAMSystem.cpp:270-322)
+    # ------------------------------------------------------------------
+    def render_depth(self):
+        from supereight_tpu.ops import rendering
+        return np.asarray(rendering.render_depth(self.float_depth))
+
+    def render_track(self):
+        from supereight_tpu.ops import rendering
+        return np.asarray(rendering.render_track(self.track_result))
+
+    def render_volume(self, view_pose=None):
+        from supereight_tpu.ops import rendering
+        reuse = view_pose is None
+        pose = self.raycast_pose if reuse else jnp.asarray(view_pose)
+        return np.asarray(rendering.render_volume(
+            self.geom, self.map, self.field, pose, self.k, self.config.mu,
+            self.computation_size, vertex=self.vertex, normal=self.normal,
+            valid=self.valid, reuse_maps=reuse))
+
+    def dump_mesh(self, filename: str):
+        """Marching-cubes surface export (ref dump_mesh,
+        DenseSLAMSystem.cpp:302-322)."""
+        from supereight_tpu.io import meshing
+        tris = meshing.marching_cubes(self.geom, self.map)
+        if filename.endswith(".obj"):
+            meshing.write_obj(filename, tris)
+        else:
+            meshing.write_vtk(filename, tris)
+        return tris
+
+    def save_map(self, filename: str):
+        from supereight_tpu.io.serialise import save_map
+        save_map(filename, self.geom, self.map, self.field)
+
+    # ------------------------------------------------------------------
+    # getters (ref DenseSLAMSystem.h getters)
+    # ------------------------------------------------------------------
+    def get_position(self):
+        return np.asarray(self.pose[:3, 3])
+
+    def get_pose(self):
+        return np.asarray(self.pose)
+
+    def set_pose(self, pose):
+        self.pose = jnp.asarray(pose, jnp.float32)
+
+    def get_depth(self):
+        return np.asarray(self.float_depth)
+
+    def block_count(self) -> int:
+        return int(self.map.n_blocks)
