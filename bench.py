@@ -1,0 +1,92 @@
+"""Headline benchmark: frames/sec/chip for the fused SLAM frame step.
+
+Config mirrors the reference's canonical ICL-NUIM traj2 setup
+(BASELINE.md: 640x480 input, 4.8 m volume) on a synthetic scene with
+ICP tracking enabled — the track+integrate+raycast north-star metric.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+vs_baseline is against 30 fps — the real-time rate the reference paper
+claims for desktop CPUs (README.md:5-20); the repo publishes no numbers
+in-tree (BASELINE.md).
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+# ---- benchmark configuration ------------------------------------------
+W, H = 640, 480
+SIZE = 512           # voxels per side
+DIM = 4.8            # meters
+CAPACITY = 32768     # voxel blocks
+BUDGET = 16384       # blocks integrated per frame
+N_WARMUP = 3
+N_FRAMES = 20
+BASELINE_FPS = 30.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from supereight_tpu.core.map import MapGeometry
+    from supereight_tpu.fields import get_field
+    from supereight_tpu.io import synthetic
+    from supereight_tpu.parallel import step as pstep
+
+    geom = MapGeometry(size=SIZE, dim=DIM, capacity=CAPACITY)
+    field = get_field("tsdf")
+    k = (481.2, 480.0, 320.0, 240.0)
+
+    print("generating synthetic sequence...", file=sys.stderr)
+    depths, poses = synthetic.orbit_sequence(
+        N_WARMUP + N_FRAMES, k, width=W, height=H, radius=0.4 * DIM,
+        center=(DIM / 2,) * 3, sphere_radius=0.15 * DIM, angle_span=0.5,
+        room=((0.3, 0.3, 0.3), (DIM - 0.3,) * 3))
+
+    fn = functools.partial(
+        pstep.frame_step, geom, field,
+        frame_size=(W, H), iterations=(10, 5, 4), budget=BUDGET,
+        mu=0.1, icp_threshold=1e-5, neg_y=False, filter_input=False,
+        use_gt_pose=False, integration_rate=1, tracking_rate=1)
+
+    state = pstep.init_frame_state(geom, field, (W, H), poses[0])
+    kj = jnp.asarray(k, jnp.float32)
+    depths_j = [jnp.asarray(d) for d in depths]
+
+    print("warmup/compile...", file=sys.stderr)
+    for i in range(N_WARMUP):
+        state, aux = fn(state, depths_j[i], kj, jnp.int32(i))
+    jax.block_until_ready(state)
+
+    print("timing...", file=sys.stderr)
+    t0 = time.perf_counter()
+    for i in range(N_WARMUP, N_WARMUP + N_FRAMES):
+        state, aux = fn(state, depths_j[i], kj, jnp.int32(i))
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    fps = N_FRAMES / dt
+    tracked = bool(aux["tracked"])
+    n_blocks = int(state.map.n_blocks)
+    pos_err = float(np.linalg.norm(
+        np.asarray(state.pose)[:3, 3] - poses[N_WARMUP + N_FRAMES - 1][:3, 3]))
+    print(f"# {N_FRAMES} frames in {dt:.3f}s, blocks={n_blocks}, "
+          f"tracked={tracked}, final pos err={pos_err:.4f} m",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "frames_per_sec_chip_640x480_512v_tsdf_icp",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Fused whole-frame step: one jitted program per frame.
+
+The stage-level functions in ops/ mirror the reference's per-kernel
+structure; this module composes them into a single XLA program
+(preprocess -> track -> allocate -> integrate -> raycast) so a frame is
+one dispatch — the unit that gets sharded across a device mesh in
+parallel/sharding.py. The reference has no equivalent (its stages are
+synchronous CPU calls); this is the TPU-native execution shape.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from supereight_tpu import constants as C
+from supereight_tpu.core import se3
+from supereight_tpu.core.map import MapState
+from supereight_tpu.ops import allocation, integration, raycast, tracking
+from supereight_tpu.pipeline import _preprocess_and_pyramid
+
+
+class FrameState(NamedTuple):
+    map: MapState
+    pose: jnp.ndarray          # camera-to-world, [4, 4]
+    raycast_pose: jnp.ndarray  # pose of the last raycast
+    vertex: jnp.ndarray        # [H, W, 3] reference maps for ICP
+    normal: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def init_frame_state(geom, field, frame_size, init_pose):
+    from supereight_tpu.core.map import make_map
+    w, h = frame_size
+    p = jnp.asarray(init_pose, jnp.float32)
+    return FrameState(
+        map=make_map(geom, field),
+        pose=p,
+        raycast_pose=p,
+        vertex=jnp.zeros((h, w, 3), jnp.float32),
+        normal=jnp.zeros((h, w, 3), jnp.float32),
+        valid=jnp.zeros((h, w), bool),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("geom", "field", "frame_size", "iterations", "budget",
+                     "mu", "icp_threshold", "neg_y", "filter_input",
+                     "use_gt_pose", "integration_rate", "tracking_rate"))
+def frame_step(geom, field, state: FrameState, depth_m, k, frame,
+               gt_pose=None, *,
+               frame_size, iterations, budget,
+               mu, icp_threshold,
+               neg_y, filter_input, use_gt_pose=False,
+               integration_rate=2, tracking_rate=1):
+    """Run one full frame; returns (new_state, aux dict of device arrays).
+
+    ``frame`` is a traced int32 scalar so one compiled program serves the
+    whole sequence; the reference's rate gates (DenseSLAMSystem.cpp:146,
+    209, 195) become lax.cond branches.
+    """
+    depths, verts, norms, valids = _preprocess_and_pyramid(
+        depth_m, k, len(iterations), neg_y, filter_input)
+
+    # ---- tracking (or ground-truth bypass) ---------------------------
+    if use_gt_pose:
+        pose = jnp.asarray(gt_pose, jnp.float32)
+        tracked = jnp.bool_(True)
+        reduction = jnp.zeros((32,), jnp.float32)
+        result = jnp.zeros(depth_m.shape, jnp.int32)
+    else:
+        do_track = (frame % tracking_rate) == 0
+        pose_t, tracked_t, reduction, result = tracking.track(
+            state.pose, state.raycast_pose, k, verts, norms, valids,
+            state.vertex, state.normal, state.valid,
+            iterations, icp_threshold)
+        pose = jnp.where(do_track, pose_t, state.pose)
+        tracked = jnp.where(do_track, tracked_t, False)
+
+    # ---- integration --------------------------------------------------
+    do_integrate = (tracked | (frame <= 3)) \
+        & (((frame % integration_rate) == 0) | (frame <= 3))
+
+    def integrate_branch(m_state):
+        if field.multiscale_alloc:
+            m2 = allocation.allocate_ofusion(geom, m_state, depths[0],
+                                             pose, k, mu)
+        else:
+            m2 = allocation.allocate_tsdf(geom, m_state, depths[0],
+                                          pose, k, mu)
+        return integration.integrate(
+            geom, m2, field, depth_m, pose, k, mu,
+            (1.0 / 30.0) * frame.astype(jnp.float32), frame_size, budget)
+
+    new_map = jax.lax.cond(do_integrate, integrate_branch,
+                           lambda m_state: m_state, state.map)
+
+    # ---- raycast ------------------------------------------------------
+    def raycast_branch(_):
+        view = jnp.matmul(pose, se3.inverse_camera_matrix(k),
+                          precision=jax.lax.Precision.HIGHEST)
+        return raycast.raycast(geom, new_map, field, view, mu, frame_size)
+
+    def keep_maps(_):
+        return state.vertex, state.normal, state.valid
+
+    do_raycast = frame > 2
+    vertex, normal, valid = jax.lax.cond(do_raycast, raycast_branch,
+                                         keep_maps, None)
+    raycast_pose = jnp.where(do_raycast, pose, state.raycast_pose)
+
+    new_state = FrameState(map=new_map, pose=pose,
+                           raycast_pose=raycast_pose,
+                           vertex=vertex, normal=normal, valid=valid)
+    aux = {"tracked": tracked, "integrated": do_integrate,
+           "reduction": reduction, "track_result": result,
+           "n_blocks": new_map.n_blocks}
+    return new_state, aux
