@@ -23,8 +23,8 @@ import numpy as np
 W, H = 640, 480
 SIZE = 512           # voxels per side
 DIM = 4.8            # meters
-CAPACITY = 32768     # voxel blocks
-BUDGET = 16384       # blocks integrated per frame
+CAPACITY = 36864     # voxel blocks
+BUDGET = 30720       # blocks integrated per frame
 N_WARMUP = 3
 N_FRAMES = 20
 BASELINE_FPS = 30.0
@@ -45,9 +45,9 @@ def main():
 
     print("generating synthetic sequence...", file=sys.stderr)
     depths, poses = synthetic.orbit_sequence(
-        N_WARMUP + N_FRAMES, k, width=W, height=H, radius=0.4 * DIM,
+        N_WARMUP + N_FRAMES, k, width=W, height=H, radius=0.3 * DIM,
         center=(DIM / 2,) * 3, sphere_radius=0.15 * DIM, angle_span=0.5,
-        room=((0.3, 0.3, 0.3), (DIM - 0.3,) * 3))
+        room=((0.55, 0.55, 0.55), (DIM - 0.55,) * 3))
 
     fn = functools.partial(
         pstep.frame_step, geom, field,

@@ -27,8 +27,8 @@ _OFFSETS = jnp.array(
 def _gather_corners(geom, state, field, base, channel, fill):
     """Fetch the 8 corner values of the 2x2x2 stencil at ``base`` [..., 3]."""
     corners = base[..., None, :] + _OFFSETS          # [..., 8, 3]
-    x, y = m.get_voxel(geom, state, field, corners, fill=fill)
-    return x if channel == 0 else y
+    return m.get_voxel_channel(geom, state, field, corners, channel,
+                               fill=fill[channel])
 
 
 def interp(geom, state, field, pos, channel=0):

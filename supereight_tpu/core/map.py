@@ -166,6 +166,26 @@ def get_voxel(geom: MapGeometry, state: MapState, field: FieldSpec,
     return x, y
 
 
+def get_voxel_channel(geom: MapGeometry, state: MapState, field: FieldSpec,
+                      v: jnp.ndarray, channel: int, fill: float = None):
+    """Single-channel variant of :func:`get_voxel`.
+
+    The raycast interp path only reads one payload channel; gathering just
+    it halves the HBM traffic of the hottest loop.
+    """
+    if fill is None:
+        fill = field.init[channel]
+    vv = jnp.clip(v, 0, geom.size - 1)
+    inb = jnp.all((v >= 0) & (v < geom.size), axis=-1)
+    bc = vv // BLOCK_SIDE
+    local = vv % BLOCK_SIDE
+    s = lookup_slot(state, bc)
+    ok = (s >= 0) & inb
+    flat = jnp.maximum(s, 0) * BLOCK_VOXELS + voxel_linear_index(local)
+    data = state.data_x if channel == 0 else state.data_y
+    return jnp.where(ok, data.reshape(-1)[flat], fill)
+
+
 def get_with_coarse(geom: MapGeometry, state: MapState, field: FieldSpec,
                     v: jnp.ndarray):
     """Read voxels, falling back to the finest existing coarse value.

@@ -21,7 +21,7 @@ def _ray_grid(width, height, k):
 
 def render_depth(pose, k, width=320, height=240,
                  sphere_center=(0.0, 0.0, 0.0), sphere_radius=0.5,
-                 box_min=None, box_max=None):
+                 box_min=None, box_max=None, max_depth=4.0):
     """Exact depth render of a sphere inside an axis-aligned room.
 
     pose: camera-to-world 4x4. Returns f32 [H, W] depth (z-depth, meters),
@@ -65,6 +65,9 @@ def render_depth(pose, k, width=320, height=240,
     # ray length -> z-depth: the camera-frame ray has z == 1 before
     # normalization, so the hit's camera z is t_hit / |rays_cam|.
     zdepth = np.where(np.isfinite(t_hit), t_hit / norm, 0.0)
+    if max_depth is not None:
+        # a real depth camera reports 0 beyond its range
+        zdepth = np.where(zdepth > max_depth, 0.0, zdepth)
     return zdepth.astype(np.float32)
 
 
@@ -90,7 +93,7 @@ def look_at(eye, target, up=(0.0, 1.0, 0.0)):
 
 def orbit_sequence(n_frames, k, width=320, height=240, radius=1.6,
                    center=(1.0, 1.0, 1.0), sphere_radius=0.5,
-                   angle_span=0.8, room=None):
+                   angle_span=0.8, room=None, max_depth=4.0):
     """Orbiting-camera sequence around a sphere at ``center``.
 
     Returns (depths [N,H,W] f32 meters, poses [N,4,4] camera-to-world).
@@ -112,7 +115,8 @@ def orbit_sequence(n_frames, k, width=320, height=240, radius=1.6,
             box_min, box_max = room
         d = render_depth(pose, k, width, height, sphere_center=center,
                          sphere_radius=sphere_radius,
-                         box_min=box_min, box_max=box_max)
+                         box_min=box_min, box_max=box_max,
+                         max_depth=max_depth)
         depths.append(d)
         poses.append(pose)
     return np.stack(depths), np.stack(poses)

@@ -60,9 +60,14 @@ def _scatter_touched(geom, positions, valid):
 
 def tsdf_touched_mask(geom, depth, pose, k, mu: float):
     """Blocks intersected by the +/- 2*mu band around each depth sample
-    (ref buildAllocationList, kfusion/alloc_impl.hpp:53-118)."""
+    (ref buildAllocationList, kfusion/alloc_impl.hpp:53-118).
+
+    The reference samples every voxel along the band; since only the set
+    of touched 8^3 *blocks* matters, sampling every 2 voxels halves the
+    scatter volume while still hitting every block the ray spends >2
+    voxels in (a corner-clipped block can be picked up a frame later)."""
     band = 2.0 * mu
-    num_steps = int(math.ceil(band * geom.inv_voxel_size))
+    num_steps = int(math.ceil(band * geom.inv_voxel_size / 2.0))
     world_vertex, direction, _ = _pixel_rays(depth, pose, k)
     origin = world_vertex - (band * 0.5) * direction
     step = band / num_steps
