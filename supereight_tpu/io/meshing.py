@@ -109,7 +109,13 @@ def marching_cubes(geom, state, inside=None):
 
 
 def write_vtk(path, triangles):
-    """Legacy-VTK polydata export (ref writeVtkMesh, commons.h:325)."""
+    """Legacy-VTK polydata export (ref writeVtkMesh, commons.h:325).
+
+    Uses the native writer when built (orders of magnitude faster for
+    large meshes); falls back to Python."""
+    from supereight_tpu.io import native
+    if native.available() and native.write_vtk_native(path, triangles):
+        return
     n = len(triangles)
     verts = triangles.reshape(-1, 3)
     with open(path, "w") as f:
@@ -126,6 +132,9 @@ def write_vtk(path, triangles):
 
 def write_obj(path, triangles):
     """Wavefront OBJ export (ref writeObjMesh, commons.h:393)."""
+    from supereight_tpu.io import native
+    if native.available() and native.write_obj_native(path, triangles):
+        return
     with open(path, "w") as f:
         f.write("# OBJ mesh generated from supereight-tpu\n")
         for tri in triangles:
