@@ -106,24 +106,59 @@ def _interp(geom, state, field, pos_m):
                              pos_m * geom.inv_voxel_size, channel=0)
 
 
+def _march_field(geom, state):
+    """Derived marching field: voxel value with +inf marking unknown space.
+
+    One flat array so each marching step costs ONE gather; the unknown
+    test (reference: data.y == 0 -> large step) and the value test ride
+    the same fetch. Rebuilt per raycast call — a dense elementwise pass
+    over the pool, negligible next to the march itself."""
+    return jnp.where(state.data_y == 0, jnp.inf, state.data_x).reshape(-1)
+
+
+def _march_sample(geom, state, march_flat, pos_m):
+    """Single-gather fetch of the marching field at a metric position.
+
+    Out-of-bounds / unallocated space reads +inf (unknown), matching
+    get_fine's init {x:1, y:0} classification."""
+    v = (pos_m * geom.inv_voxel_size).astype(jnp.int32)
+    vv = jnp.clip(v, 0, geom.size - 1)
+    inb = jnp.all((v >= 0) & (v < geom.size), axis=-1)
+    bc = vv // BLOCK_SIDE
+    sl = m.lookup_slot(state, bc)
+    ok = (sl >= 0) & inb
+    lin = m.voxel_linear_index(vv % BLOCK_SIDE)
+    flat = jnp.maximum(sl, 0) * 512 + lin
+    return jnp.where(ok, march_flat[flat], jnp.inf)
+
+
 def _march_tsdf(geom, state, field, origin, direction, tnear, tfar, mu,
                 step, largestep, max_steps, found=None):
-    """Vectorized port of the TSDF marcher (kfusion/rendering_impl.hpp:34-74).
+    """TSDF sphere tracing (behavior of kfusion/rendering_impl.hpp:34-74).
+
+    Marching decisions use the voxel-sampled field (one gather/step); the
+    reference switches to trilinear values inside [-0.5, 0.1] while
+    marching, which we defer to the final refinement: once the crossing
+    is bracketed, both bracket ends are re-evaluated with trilinear
+    interpolation and the zero crossing solved linearly — same sub-voxel
+    accuracy, an order of magnitude less gather traffic.
 
     ``found`` gates rays that intersect no allocated block (the
     reference's t_min > 0 check, rendering.cpp:68-71); ``tnear`` is then
     the skip-phase entry distance, matching ray.tcmin()."""
     shape = tnear.shape
-    f_t = _interp(geom, state, field, origin + direction * tnear[..., None])
+    march_flat = _march_field(geom, state)
+    f_t0 = _interp(geom, state, field, origin + direction * tnear[..., None])
     # status: 0 = marching, 1 = hit, 2 = done/no-hit
-    go = (tnear < tfar) & (f_t > 0)
+    go = (tnear < tfar) & (f_t0 > 0)
     if found is not None:
         go = go & found
     status = jnp.where(go, 0, 2).astype(jnp.int32)
 
-    state0 = (jnp.full(shape, 0.0) + tnear,        # t
+    state0 = (jnp.zeros(shape) + tnear,            # t
               jnp.full(shape, largestep),          # stepsize
-              f_t, jnp.zeros(shape), status, jnp.int32(0))
+              jnp.full(shape, jnp.inf),            # f_t (last known sample)
+              jnp.zeros(shape), status, jnp.int32(0))
 
     def cond(carry):
         t, ss, f_t, f_tt, status, it = carry
@@ -132,17 +167,15 @@ def _march_tsdf(geom, state, field, origin, direction, tnear, tfar, mu,
     def body(carry):
         t, ss, f_t, f_tt, status, it = carry
         pos = origin + direction * t[..., None]
-        vx, vy = _voxel_get(geom, state, field, pos)
-        unknown = vy == 0
-        fi = _interp(geom, state, field, pos)
-        cand = jnp.where((vx <= 0.1) & (vx >= -0.5), fi, vx)
+        mx = _march_sample(geom, state, march_flat, pos)
+        unknown = jnp.isinf(mx)
         active = status == 0
 
-        hit = active & ~unknown & (cand < 0)
-        new_f_tt = jnp.where(active & ~unknown, cand, f_tt)
-        new_f_t = jnp.where(active & ~unknown & ~hit, cand, f_t)
-        # on a hit the reference breaks *before* refreshing stepsize, so the
-        # refinement uses the step that reached the crossing — keep old ss
+        hit = active & ~unknown & (mx < 0)
+        new_f_tt = jnp.where(active & ~unknown, mx, f_tt)
+        new_f_t = jnp.where(active & ~unknown & ~hit, mx, f_t)
+        # on a hit the reference breaks *before* refreshing stepsize — the
+        # refinement uses the step that reached the crossing
         new_ss = jnp.where(unknown, largestep,
                            jnp.maximum(new_f_tt * mu, step))
         new_ss = jnp.where(active & ~hit, new_ss, ss)
@@ -154,51 +187,70 @@ def _march_tsdf(geom, state, field, origin, direction, tnear, tfar, mu,
 
     t, ss, f_t, f_tt, status, _ = jax.lax.while_loop(cond, body, state0)
     hit = status == 1
-    denom = jnp.where(f_t == f_tt, 1.0, f_t - f_tt)
-    t_hit = t + ss * f_tt / denom
+    # trilinear refinement at the bracket ends (the accuracy the
+    # reference gets from its in-window interp switch)
+    fa = _interp(geom, state, field,
+                 origin + direction * (t - ss)[..., None])
+    fb = _interp(geom, state, field, origin + direction * t[..., None])
+    use_interp = hit & (fb < 0) & (fa >= 0)
+    f_hi = jnp.where(use_interp, fa, jnp.where(jnp.isinf(f_t), 1.0, f_t))
+    f_lo = jnp.where(use_interp, fb, f_tt)
+    denom = jnp.where(f_hi == f_lo, 1.0, f_hi - f_lo)
+    t_hit = t + ss * f_lo / denom
     return jnp.where(hit, t_hit, 0.0), hit
 
 
 def _march_ofusion(geom, state, field, origin, direction, tnear, tfar, mu,
                    step, largestep, max_steps, found=None):
-    """Vectorized port of the occupancy marcher
-    (bfusion/rendering_impl.hpp:35-68): constant step until the
-    interpolated log-odds crosses SURF_BOUNDARY."""
+    """Occupancy marching (behavior of bfusion/rendering_impl.hpp:35-68).
+
+    Constant voxel step inside allocated blocks; unallocated blocks hold
+    no observed voxels, so they are crossed at block-sized steps (the
+    reference samples them anyway and learns nothing — skipping them
+    cannot change which observed samples are seen). Crossing detection on
+    voxel samples, trilinear refinement at the bracket."""
     shape = tnear.shape
-    f_0 = _interp(geom, state, field, origin + direction * tnear[..., None])
-    go = (tnear < tfar) & (f_0 <= SURF_BOUNDARY)
+    march_flat = _march_field(geom, state)
+    f_00 = _interp(geom, state, field, origin + direction * tnear[..., None])
+    go = (tnear < tfar) & (f_00 <= SURF_BOUNDARY)
     if found is not None:
         go = go & found
     status = jnp.where(go, 0, 2).astype(jnp.int32)
 
-    state0 = (jnp.zeros(shape) + tnear, f_0, jnp.zeros(shape), status,
-              jnp.int32(0))
+    state0 = (jnp.zeros(shape) + tnear, jnp.full(shape, step),
+              jnp.zeros(shape), jnp.zeros(shape), status, jnp.int32(0))
 
     def cond(carry):
-        t, f_t, f_tt, status, it = carry
+        t, ss, f_t, f_tt, status, it = carry
         return jnp.any(status == 0) & (it < max_steps)
 
     def body(carry):
-        t, f_t, f_tt, status, it = carry
+        t, ss, f_t, f_tt, status, it = carry
         pos = origin + direction * t[..., None]
-        vx, vy = _voxel_get(geom, state, field, pos)
-        observed = (vx > -100.0) & (vy > 0.0)
-        fi = _interp(geom, state, field, pos)
-        new_f_tt = jnp.where(observed, fi, f_tt)
+        mx = _march_sample(geom, state, march_flat, pos)
+        unknown = jnp.isinf(mx)
         active = status == 0
-        hit = active & (new_f_tt > SURF_BOUNDARY)
-        new_f_tt = jnp.where(active, new_f_tt, f_tt)
+        hit = active & ~unknown & (mx > SURF_BOUNDARY)
+        new_f_tt = jnp.where(active & ~unknown, mx, f_tt)
         new_f_t = jnp.where(active & ~hit, new_f_tt, f_t)
-        new_t = jnp.where(active & ~hit, t + step, t)
+        new_ss = jnp.where(unknown, largestep, step)
+        new_ss = jnp.where(active & ~hit, new_ss, ss)
+        new_t = jnp.where(active & ~hit, t + new_ss, t)
         new_status = jnp.where(hit, 1, status)
         new_status = jnp.where(active & ~hit & (new_t >= tfar), 2,
                                new_status)
-        return (new_t, new_f_t, new_f_tt, new_status, it + 1)
+        return (new_t, new_ss, new_f_t, new_f_tt, new_status, it + 1)
 
-    t, f_t, f_tt, status, _ = jax.lax.while_loop(cond, body, state0)
+    t, ss, f_t, f_tt, status, _ = jax.lax.while_loop(cond, body, state0)
     hit = status == 1
-    denom = jnp.where(f_tt == f_t, 1.0, f_tt - f_t)
-    t_hit = t - step * (f_tt - SURF_BOUNDARY) / denom
+    fa = _interp(geom, state, field,
+                 origin + direction * (t - ss)[..., None])
+    fb = _interp(geom, state, field, origin + direction * t[..., None])
+    use_interp = hit & (fb > SURF_BOUNDARY) & (fa <= SURF_BOUNDARY)
+    f_hi = jnp.where(use_interp, fb, f_tt)
+    f_lo = jnp.where(use_interp, fa, f_t)
+    denom = jnp.where(f_hi == f_lo, 1.0, f_hi - f_lo)
+    t_hit = t - ss * (f_hi - SURF_BOUNDARY) / denom
     return jnp.where(hit, t_hit, 0.0), hit
 
 
