@@ -61,8 +61,11 @@ def main():
 
     print("warmup/compile...", file=sys.stderr)
     for i in range(N_WARMUP):
+        t0 = time.perf_counter()
         state, aux = fn(state, depths_j[i], kj, jnp.int32(i))
-    jax.block_until_ready(state)
+        jax.block_until_ready(state)
+        print(f"  warmup frame {i}: {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
 
     print("timing...", file=sys.stderr)
     t0 = time.perf_counter()

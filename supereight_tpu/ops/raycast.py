@@ -50,30 +50,50 @@ def ray_box_range(origin, direction, dim, near=NEAR_PLANE, far=FAR_PLANE):
     return jnp.maximum(tmin, near), jnp.minimum(tmax, far)
 
 
-def first_allocated_t(geom, state, origin, direction, tnear, tfar,
-                      step_vox: int = 4):
-    """Cheap skip phase: march the *block-allocation mask* to the first
-    allocated block along each ray.
+def jump_distance_field(geom, state, max_jump: int = 6):
+    """Chebyshev distance (in block units, capped) to the nearest
+    allocated block, for safe empty-space jumps.
 
-    This replaces the reference's hierarchical ray iterator
-    (ray_iterator.hpp:116-226, which exists to find the first intersected
-    block) with a mask march: gathers hit a [B^3] int grid (~1 MB at
-    512^3) instead of the multi-hundred-MB brick pool, so empty-space
-    iterations cost a fraction of a data iteration. Sampling at half a
-    block side cannot skip over any block the ray spends >= 4 voxels in.
+    Computed per raycast call by ``max_jump`` dense 3^3 min-dilations of
+    the allocation mask — a few dense VPU passes over the [B^3] grid,
+    negligible next to the march. This is the TPU replacement for the
+    reference ray iterator's hierarchy descent (ray_iterator.hpp:116-226):
+    instead of walking an octree to skip empty space, every ray reads how
+    far it may safely jump.
+    """
+    occupied = (state.slot >= 0)
+    d = jnp.where(occupied, 0, max_jump).astype(jnp.float32)
+    for _ in range(max_jump - 1):
+        neigh = -jax.lax.reduce_window(
+            -d, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+        d = jnp.minimum(d, neigh + 1.0)
+    return d.astype(jnp.int32)
+
+
+def first_allocated_t(geom, state, origin, direction, tnear, tfar,
+                      step_vox: int = 4, dist=None):
+    """Skip phase: advance each ray to its first allocated block.
+
+    Marches on :func:`jump_distance_field`, stepping
+    ``(dist-1) * BLOCK_SIDE + step_vox`` voxels per sample — empty space
+    is crossed in block-sized jumps, so the loop runs ~O(surface depth /
+    jump) iterations of a single 1-byte-class gather. Sampling inside the
+    distance-0 shell at ``step_vox`` (half a block) cannot overshoot any
+    block the ray spends >= 4 voxels in.
 
     Returns (t_first, found): entry-conservative distance (one sample
     before the first occupied sample) and whether any block was found.
     """
-    step = step_vox * geom.voxel_size
+    fine = step_vox * geom.voxel_size
     b = geom.blocks_per_side
-    mask = (state.slot >= 0)
+    if dist is None:
+        dist = jump_distance_field(geom, state)
 
     def probe(t):
         pos = origin + direction * t[..., None]
         bc = jnp.clip((pos * geom.inv_voxel_size).astype(jnp.int32)
                       // BLOCK_SIDE, 0, b - 1)
-        return mask[bc[..., 0], bc[..., 1], bc[..., 2]]
+        return dist[bc[..., 0], bc[..., 1], bc[..., 2]]
 
     def cond(carry):
         t, found, done, it = carry
@@ -82,7 +102,10 @@ def first_allocated_t(geom, state, origin, direction, tnear, tfar,
     def body(carry):
         t, found, done, it = carry
         active = ~(found | done)
-        hit = probe(t) & active
+        d = probe(t)
+        hit = (d == 0) & active
+        step = (jnp.maximum(d - 1, 0) * BLOCK_SIDE).astype(jnp.float32) \
+            * geom.voxel_size + fine
         new_t = jnp.where(active & ~hit, t + step, t)
         new_done = done | (active & ~hit & (new_t >= tfar))
         return (new_t, found | hit, new_done, it + 1)
@@ -91,7 +114,7 @@ def first_allocated_t(geom, state, origin, direction, tnear, tfar,
     t, found, _, _ = jax.lax.while_loop(
         cond, body, (t0, jnp.zeros_like(t0, bool),
                      tnear >= tfar, jnp.int32(0)))
-    return jnp.maximum(t - step, tnear), found
+    return jnp.maximum(t - fine, tnear), found
 
 
 def _voxel_get(geom, state, field, pos_m):
@@ -132,8 +155,20 @@ def _march_sample(geom, state, march_flat, pos_m):
     return jnp.where(ok, march_flat[flat], jnp.inf)
 
 
+def _jump_step(geom, dist, pos, largestep):
+    """Safe step size in unknown space from the jump-distance field."""
+    b = geom.blocks_per_side
+    bc = jnp.clip((pos * geom.inv_voxel_size).astype(jnp.int32)
+                  // BLOCK_SIDE, 0, b - 1)
+    d = dist[bc[..., 0], bc[..., 1], bc[..., 2]]
+    return jnp.maximum(
+        largestep,
+        (jnp.maximum(d - 1, 0) * BLOCK_SIDE).astype(jnp.float32)
+        * geom.voxel_size + 0.5 * largestep)
+
+
 def _march_tsdf(geom, state, field, origin, direction, tnear, tfar, mu,
-                step, largestep, max_steps, found=None):
+                step, largestep, max_steps, found=None, dist=None):
     """TSDF sphere tracing (behavior of kfusion/rendering_impl.hpp:34-74).
 
     Marching decisions use the voxel-sampled field (one gather/step); the
@@ -176,7 +211,9 @@ def _march_tsdf(geom, state, field, origin, direction, tnear, tfar, mu,
         new_f_t = jnp.where(active & ~unknown & ~hit, mx, f_t)
         # on a hit the reference breaks *before* refreshing stepsize — the
         # refinement uses the step that reached the crossing
-        new_ss = jnp.where(unknown, largestep,
+        unknown_step = (largestep if dist is None
+                        else _jump_step(geom, dist, pos, largestep))
+        new_ss = jnp.where(unknown, unknown_step,
                            jnp.maximum(new_f_tt * mu, step))
         new_ss = jnp.where(active & ~hit, new_ss, ss)
         new_t = jnp.where(active & ~hit, t + new_ss, t)
@@ -201,7 +238,7 @@ def _march_tsdf(geom, state, field, origin, direction, tnear, tfar, mu,
 
 
 def _march_ofusion(geom, state, field, origin, direction, tnear, tfar, mu,
-                   step, largestep, max_steps, found=None):
+                   step, largestep, max_steps, found=None, dist=None):
     """Occupancy marching (behavior of bfusion/rendering_impl.hpp:35-68).
 
     Constant voxel step inside allocated blocks; unallocated blocks hold
@@ -233,7 +270,9 @@ def _march_ofusion(geom, state, field, origin, direction, tnear, tfar, mu,
         hit = active & ~unknown & (mx > SURF_BOUNDARY)
         new_f_tt = jnp.where(active & ~unknown, mx, f_tt)
         new_f_t = jnp.where(active & ~hit, new_f_tt, f_t)
-        new_ss = jnp.where(unknown, largestep, step)
+        unknown_step = (largestep if dist is None
+                        else _jump_step(geom, dist, pos, largestep))
+        new_ss = jnp.where(unknown, unknown_step, step)
         new_ss = jnp.where(active & ~hit, new_ss, ss)
         new_t = jnp.where(active & ~hit, t + new_ss, t)
         new_status = jnp.where(hit, 1, status)
@@ -274,15 +313,16 @@ def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
     origin = jnp.broadcast_to(view[:3, 3], direction.shape)
     tnear, tfar = ray_box_range(origin, direction, geom.dim, near, far)
 
-    # skip phase: advance every ray to its first allocated block on the
-    # cheap mask grid (the ray_iterator's job in the reference)
+    # skip phase: advance every ray to its first allocated block via the
+    # jump-distance field (the ray_iterator's job in the reference)
+    dist = jump_distance_field(geom, state)
     t_start, found = first_allocated_t(geom, state, origin, direction,
-                                       tnear, tfar)
+                                       tnear, tfar, dist=dist)
 
     marcher = _march_tsdf if field.name == "tsdf" else _march_ofusion
     t_hit, hit = marcher(geom, state, field, origin, direction, t_start,
                          tfar, mu, step, largestep, max_steps,
-                         found=found)
+                         found=found, dist=dist)
 
     vertex = origin + direction * t_hit[..., None]
     g = interp_mod.grad(geom, state, field,

@@ -123,6 +123,19 @@ class DenseSLAMSystem:
         self.track_result = result
         return bool(tracked)
 
+    def _budget_bucket(self) -> int:
+        """Static integration budget from the live block count.
+
+        jit shapes are static, so the worklist budget is rounded up to a
+        power of two covering all allocated blocks (one recompile per
+        doubling — a handful over a run) instead of paying the worst-case
+        budget every frame."""
+        n = max(int(self.map.n_blocks), 1)
+        bucket = 1024
+        while bucket < n:
+            bucket *= 2
+        return min(bucket, self.budget)
+
     def integration(self, frame: int) -> bool:
         if not (frame % self.config.integration_rate == 0 or frame <= 3):
             return False
@@ -139,7 +152,7 @@ class DenseSLAMSystem:
         self.map = integration.integrate(
             self.geom, self.map, self.field, self.float_depth, self.pose,
             self.k, self.config.mu, timestamp, self.computation_size,
-            self.budget)
+            self._budget_bucket())
         return True
 
     def raycasting(self, frame: int) -> bool:
