@@ -82,24 +82,35 @@ def track_residuals(in_vertex, in_normal, in_valid, ref_vertex, ref_normal,
     return result, error, jac
 
 
+_TRIU_R = jnp.asarray([r for r, _ in _TRIU])
+_TRIU_C = jnp.asarray([c for _, c in _TRIU])
+
+
 def reduce_tracking(result, error, jac):
     """Masked reduction to the reference's 32-float layout (reduceKernel).
 
     [0]=sum err^2, [1:7]=J^T e, [7:28]=upper-tri J^T J, [28]=inliers,
     [29]=#too-far, [30]=#bad-normal, [31]=#other-rejects.
+
+    Assembled as one [H, W, 32] tensor reduced in a single pass (the
+    reference's strided 8x32 accumulator tree, tracking.cpp:66-224,
+    becomes one fused reduction over pixels / a psum across devices).
     """
     ok = (result == TRACK_OK).astype(jnp.float32)
-    vals = [jnp.sum(ok * error * error)]
-    for i in range(6):
-        vals.append(jnp.sum(ok * error * jac[..., i]))
-    for r, c in _TRIU:
-        vals.append(jnp.sum(ok * jac[..., r] * jac[..., c]))
-    vals.append(jnp.sum(ok))
-    vals.append(jnp.sum((result == TRACK_TOO_FAR).astype(jnp.float32)))
-    vals.append(jnp.sum((result == TRACK_BAD_NORMAL).astype(jnp.float32)))
-    vals.append(jnp.sum(((result < 1) & (result > TRACK_TOO_FAR))
-                        .astype(jnp.float32)))
-    return jnp.stack(vals)
+    e = ok * error
+    jm = ok[..., None] * jac
+    outer = jm[..., :, None] * jac[..., None, :]
+    comps = jnp.concatenate([
+        (e * error)[..., None],
+        e[..., None] * jac,
+        outer[..., _TRIU_R, _TRIU_C],
+        ok[..., None],
+        (result == TRACK_TOO_FAR).astype(jnp.float32)[..., None],
+        (result == TRACK_BAD_NORMAL).astype(jnp.float32)[..., None],
+        ((result < 1) & (result > TRACK_TOO_FAR))
+        .astype(jnp.float32)[..., None],
+    ], axis=-1)
+    return jnp.sum(comps, axis=(0, 1))
 
 
 def make_jtj(v21):

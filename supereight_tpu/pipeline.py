@@ -222,6 +222,37 @@ class DenseSLAMSystem:
         from supereight_tpu.io.serialise import save_map
         save_map(filename, self.geom, self.map, self.field)
 
+    def save_checkpoint(self, filename: str):
+        """Full run checkpoint: map + pose state + raycast maps.
+
+        Extends the reference's map-only snapshots (octree.hpp:897-950 —
+        pose/trajectory state is not checkpointed there, SURVEY.md §5)
+        so a crashed/preempted run resumes mid-trajectory.
+        """
+        from supereight_tpu.io.serialise import save_map
+        save_map(filename, self.geom, self.map, self.field)
+        np.savez_compressed(
+            filename + ".run",
+            pose=np.asarray(self.pose),
+            raycast_pose=np.asarray(self.raycast_pose),
+            vertex=np.asarray(self.vertex),
+            normal=np.asarray(self.normal),
+            valid=np.asarray(self.valid),
+        )
+
+    def load_checkpoint(self, filename: str):
+        from supereight_tpu.io.serialise import load_map
+        geom, state, field = load_map(filename)
+        assert geom == self.geom and field.name == self.field.name, \
+            "checkpoint geometry/field mismatch"
+        self.map = state
+        z = np.load(filename + ".run.npz")
+        self.pose = jnp.asarray(z["pose"])
+        self.raycast_pose = jnp.asarray(z["raycast_pose"])
+        self.vertex = jnp.asarray(z["vertex"])
+        self.normal = jnp.asarray(z["normal"])
+        self.valid = jnp.asarray(z["valid"])
+
     # ------------------------------------------------------------------
     # getters (ref DenseSLAMSystem.h getters)
     # ------------------------------------------------------------------
