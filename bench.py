@@ -24,7 +24,7 @@ W, H = 640, 480
 SIZE = 512           # voxels per side
 DIM = 4.8            # meters
 CAPACITY = 36864     # voxel blocks
-BUDGET = 30720       # blocks integrated per frame
+BUDGET = 16384       # blocks integrated per frame
 N_WARMUP = 3
 N_FRAMES = 20
 BASELINE_FPS = 30.0
