@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from supereight_tpu.constants import (BLOCK_SIDE, FAR_PLANE, INVALID,
                                       NEAR_PLANE, SURF_BOUNDARY)
@@ -180,7 +181,14 @@ def _march_tsdf(geom, state, field, origin, direction, tnear, tfar, mu,
 
     ``found`` gates rays that intersect no allocated block (the
     reference's t_min > 0 check, rendering.cpp:68-71); ``tnear`` is then
-    the skip-phase entry distance, matching ray.tcmin()."""
+    the skip-phase entry distance, matching ray.tcmin().
+
+    Divergence handling: lockstep marching pays the *slowest* ray per
+    iteration (the reference's independent CPU loops do not), so the
+    march runs in two passes — a short full-image pass, then the few
+    unfinished stragglers (grazing rays sliding along surface bands, far
+    misses) are compacted into a small dense batch and finished there.
+    """
     shape = tnear.shape
     march_flat = _march_field(geom, state)
     f_t0 = _interp(geom, state, field, origin + direction * tnear[..., None])
@@ -190,39 +198,76 @@ def _march_tsdf(geom, state, field, origin, direction, tnear, tfar, mu,
         go = go & found
     status = jnp.where(go, 0, 2).astype(jnp.int32)
 
-    state0 = (jnp.zeros(shape) + tnear,            # t
-              jnp.full(shape, largestep),          # stepsize
-              jnp.full(shape, jnp.inf),            # f_t (last known sample)
-              jnp.zeros(shape), status, jnp.int32(0))
+    def body(origin, direction, tfar):
+        def fn(carry):
+            t, ss, f_t, f_tt, status, it = carry
+            pos = origin + direction * t[..., None]
+            mx = _march_sample(geom, state, march_flat, pos)
+            unknown = jnp.isinf(mx)
+            active = status == 0
 
-    def cond(carry):
-        t, ss, f_t, f_tt, status, it = carry
-        return jnp.any(status == 0) & (it < max_steps)
+            hit = active & ~unknown & (mx < 0)
+            new_f_tt = jnp.where(active & ~unknown, mx, f_tt)
+            new_f_t = jnp.where(active & ~unknown & ~hit, mx, f_t)
+            # on a hit the reference breaks *before* refreshing stepsize —
+            # the refinement uses the step that reached the crossing
+            unknown_step = (largestep if dist is None
+                            else _jump_step(geom, dist, pos, largestep))
+            new_ss = jnp.where(unknown, unknown_step,
+                               jnp.maximum(new_f_tt * mu, step))
+            new_ss = jnp.where(active & ~hit, new_ss, ss)
+            new_t = jnp.where(active & ~hit, t + new_ss, t)
+            new_status = jnp.where(hit, 1, status)
+            new_status = jnp.where(active & ~hit & (new_t >= tfar), 2,
+                                   new_status)
+            return (new_t, new_ss, new_f_t, new_f_tt, new_status, it + 1)
+        return fn
 
-    def body(carry):
-        t, ss, f_t, f_tt, status, it = carry
-        pos = origin + direction * t[..., None]
-        mx = _march_sample(geom, state, march_flat, pos)
-        unknown = jnp.isinf(mx)
-        active = status == 0
+    def run(carry, origin, direction, tfar, steps):
+        def cond(c):
+            return jnp.any(c[4] == 0) & (c[5] < steps)
+        return jax.lax.while_loop(cond, body(origin, direction, tfar),
+                                  carry)
 
-        hit = active & ~unknown & (mx < 0)
-        new_f_tt = jnp.where(active & ~unknown, mx, f_tt)
-        new_f_t = jnp.where(active & ~unknown & ~hit, mx, f_t)
-        # on a hit the reference breaks *before* refreshing stepsize — the
-        # refinement uses the step that reached the crossing
-        unknown_step = (largestep if dist is None
-                        else _jump_step(geom, dist, pos, largestep))
-        new_ss = jnp.where(unknown, unknown_step,
-                           jnp.maximum(new_f_tt * mu, step))
-        new_ss = jnp.where(active & ~hit, new_ss, ss)
-        new_t = jnp.where(active & ~hit, t + new_ss, t)
-        new_status = jnp.where(hit, 1, status)
-        new_status = jnp.where(active & ~hit & (new_t >= tfar), 2,
-                               new_status)
-        return (new_t, new_ss, new_f_t, new_f_tt, new_status, it + 1)
+    pass1_steps = min(64, max_steps)
+    carry = (jnp.zeros(shape) + tnear,             # t
+             jnp.full(shape, largestep),           # stepsize
+             jnp.full(shape, jnp.inf),             # f_t (last known sample)
+             jnp.zeros(shape), status, jnp.int32(0))
+    t, ss, f_t, f_tt, status, _ = run(carry, origin, direction, tfar,
+                                      pass1_steps)
 
-    t, ss, f_t, f_tt, status, _ = jax.lax.while_loop(cond, body, state0)
+    if max_steps > pass1_steps:
+        n = int(np.prod(shape))
+        budget = max(1024, n // 16)
+        unfinished = (status == 0).reshape(-1)
+        order = jnp.cumsum(unfinished.astype(jnp.int32)) - 1
+        dest = jnp.where(unfinished & (order < budget), order, budget)
+        wl = jnp.full((budget,), -1, jnp.int32).at[dest].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        wlc = jnp.maximum(wl, 0)
+
+        def take(x):
+            return x.reshape(n, *x.shape[len(shape):])[wlc]
+
+        sub_status = jnp.where(wl >= 0, 0, 2).astype(jnp.int32)
+        sub = (take(t), take(ss), take(f_t), take(f_tt), sub_status,
+               jnp.int32(0))
+        s_t, s_ss, s_ft, s_ftt, s_status, _ = run(
+            sub, take(origin), take(direction), take(tfar),
+            max_steps - pass1_steps)
+
+        def put(full, vals):
+            return full.reshape(-1).at[jnp.where(wl >= 0, wl, n)].set(
+                vals, mode="drop").reshape(shape)
+
+        t = put(t, s_t)
+        ss = put(ss, s_ss)
+        f_t = put(f_t, s_ft)
+        f_tt = put(f_tt, s_ftt)
+        status = put(status, s_status)
+        # overflowed stragglers (beyond the budget) stay status 0 -> miss
+
     hit = status == 1
     # trilinear refinement at the bracket ends (the accuracy the
     # reference gets from its in-window interp switch)
