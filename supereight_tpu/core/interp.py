@@ -10,8 +10,12 @@ stencil corners reading the field's ``empty()`` value
 The reference specializes the 8-corner gather by which block faces the
 stencil crosses (the crossmask switch, interp_gather.hpp:105-237) to save
 pointer descents. With dense slot addressing every corner is an O(1)
-gather, so no specialization is needed — the batched gather of 8 corners
-per query point is a single XLA gather op.
+gather, so no specialization is needed.
+
+TPU shape discipline: the ``*_c`` forms carry x/y/z as separate arrays
+and put the stencil dimension FIRST — tensors keep a large minor
+dimension, and every fetch is one flat 1-D gather. Stacked-[..., 3]
+wrappers are kept for the cold callers (volume facade, tests).
 """
 
 import jax.numpy as jnp
@@ -19,95 +23,122 @@ import jax.numpy as jnp
 from supereight_tpu.core import map as m
 
 # Corner offsets in the same order as interp_offsets (interp_gather.hpp:39-41).
-_OFFSETS = jnp.array(
-    [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
-     [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1]], jnp.int32)
+_OFF = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
+        (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1)]
 
 
-def _gather_corners(geom, state, field, base, channel, fill):
-    """Fetch the 8 corner values of the 2x2x2 stencil at ``base`` [..., 3]."""
-    corners = base[..., None, :] + _OFFSETS          # [..., 8, 3]
-    return m.get_voxel_channel(geom, state, field, corners, channel,
-                               fill=fill[channel])
-
-
-def interp(geom, state, field, pos, channel=0):
-    """Trilinear interpolation at continuous voxel coords ``pos`` [..., 3].
+def interp_c(geom, state, field, px, py, pz, channel=0):
+    """Trilinear interpolation at continuous voxel coords (components).
 
     Matches Octree::interp (octree.hpp:542-563): base = floor(pos) clamped
     at 0, missing corners read empty().
     """
-    base = jnp.floor(pos).astype(jnp.int32)
-    factor = pos - jnp.floor(pos)
-    lower = jnp.maximum(base, 0)
-    p = _gather_corners(geom, state, field, lower, channel, field.empty)
-    fx, fy, fz = factor[..., 0], factor[..., 1], factor[..., 2]
-    c00 = p[..., 0] * (1 - fx) + p[..., 1] * fx
-    c10 = p[..., 2] * (1 - fx) + p[..., 3] * fx
-    c01 = p[..., 4] * (1 - fx) + p[..., 5] * fx
-    c11 = p[..., 6] * (1 - fx) + p[..., 7] * fx
+    bx = jnp.floor(px)
+    by = jnp.floor(py)
+    bz = jnp.floor(pz)
+    fx, fy, fz = px - bx, py - by, pz - bz
+    ix = jnp.maximum(bx.astype(jnp.int32), 0)
+    iy = jnp.maximum(by.astype(jnp.int32), 0)
+    iz = jnp.maximum(bz.astype(jnp.int32), 0)
+
+    # corner dim leading: [8, ...]
+    cx = ix[None] + jnp.asarray([o[0] for o in _OFF],
+                                jnp.int32).reshape((8,) + (1,) * ix.ndim)
+    cy = iy[None] + jnp.asarray([o[1] for o in _OFF],
+                                jnp.int32).reshape((8,) + (1,) * iy.ndim)
+    cz = iz[None] + jnp.asarray([o[2] for o in _OFF],
+                                jnp.int32).reshape((8,) + (1,) * iz.ndim)
+    p = m.get_voxel_channel_c(geom, state, field, cx, cy, cz, channel,
+                              fill=field.empty[channel])
+    c00 = p[0] * (1 - fx) + p[1] * fx
+    c10 = p[2] * (1 - fx) + p[3] * fx
+    c01 = p[4] * (1 - fx) + p[5] * fx
+    c11 = p[6] * (1 - fx) + p[7] * fx
     c0 = c00 * (1 - fy) + c10 * fy
     c1 = c01 * (1 - fy) + c11 * fy
     return c0 * (1 - fz) + c1 * fz
 
 
-def grad(geom, state, field, pos, channel=0):
-    """Field gradient at continuous voxel coords ``pos`` [..., 3].
+def interp(geom, state, field, pos, channel=0):
+    """Stacked-[..., 3] wrapper over :func:`interp_c`."""
+    return interp_c(geom, state, field,
+                    pos[..., 0], pos[..., 1], pos[..., 2], channel)
+
+
+# The 4^3 gradient stencil (coordinates base-1 .. base+2 per axis) only
+# ever samples points with at most ONE coordinate outside the central
+# 2x2x2 core — 32 unique samples, fetched with a single batched gather.
+# Per-axis coordinate index: 0 = base-1, 1 = base, 2 = base+1, 3 = base+2
+# (each clamped to the map, octree.hpp:652-737).
+_GRAD_SAMPLES = [(i, j, kk) for i in range(4) for j in range(4)
+                 for kk in range(4)
+                 if sum(1 for v in (i, j, kk) if v in (0, 3)) <= 1]
+_GRAD_ID = {s: n for n, s in enumerate(_GRAD_SAMPLES)}
+_GRAD_IX = jnp.asarray([s[0] for s in _GRAD_SAMPLES])
+_GRAD_IY = jnp.asarray([s[1] for s in _GRAD_SAMPLES])
+_GRAD_IZ = jnp.asarray([s[2] for s in _GRAD_SAMPLES])
+
+
+def grad_c(geom, state, field, px, py, pz, channel=0):
+    """Field gradient at continuous voxel coords (component form).
 
     Matches Octree::grad (octree.hpp:652-737): trilinearly-interpolated
     central differences with index clamping at the map boundary, scaled by
     0.5 * voxel_size (metric gradient of the raw field value). Missing
-    samples read the field's init value.
+    samples read the field's init value. Returns (gx, gy, gz).
     """
-    base = jnp.floor(pos).astype(jnp.int32)
-    factor = pos - jnp.floor(pos)
     size = geom.size
-    lo_lo = jnp.maximum(base - 1, 0)
-    lo_up = jnp.maximum(base, 0)
-    up_lo = jnp.minimum(base + 1, size - 1)
-    up_up = jnp.minimum(base + 2, size - 1)
-    lower, upper = lo_up, up_lo
 
-    def fetch(ix, iy, iz):
-        v = jnp.stack([ix, iy, iz], axis=-1)
-        x, y = m.get_voxel(geom, state, field, v)
-        return x if channel == 0 else y
+    def ladder(b):
+        # [4, ...] clamped coordinate ladder along one axis
+        return jnp.stack([jnp.maximum(b - 1, 0),
+                          jnp.maximum(b, 0),
+                          jnp.minimum(b + 1, size - 1),
+                          jnp.minimum(b + 2, size - 1)])
 
-    fx, fy, fz = factor[..., 0], factor[..., 1], factor[..., 2]
+    bx = jnp.floor(px)
+    by = jnp.floor(py)
+    bz = jnp.floor(pz)
+    fx, fy, fz = px - bx, py - by, pz - bz
+    lx = ladder(bx.astype(jnp.int32))
+    ly = ladder(by.astype(jnp.int32))
+    lz = ladder(bz.astype(jnp.int32))
 
-    # Axis 0 (x): difference along x at the 8 (y, z) corner combinations.
-    def dx(yc, zc):
-        return ((fetch(up_lo[..., 0], yc, zc) - fetch(lo_lo[..., 0], yc, zc))
-                * (1 - fx)
-                + (fetch(up_up[..., 0], yc, zc) - fetch(lo_up[..., 0], yc, zc))
-                * fx)
+    vals = m.get_voxel_channel_c(geom, state, field,
+                                 lx[_GRAD_IX], ly[_GRAD_IY], lz[_GRAD_IZ],
+                                 channel, fill=field.init[channel])
 
-    gx = ((dx(lower[..., 1], lower[..., 2]) * (1 - fy)
-           + dx(upper[..., 1], lower[..., 2]) * fy) * (1 - fz)
-          + (dx(lower[..., 1], upper[..., 2]) * (1 - fy)
-             + dx(upper[..., 1], upper[..., 2]) * fy) * fz)
+    def p(i, j, kk):
+        return vals[_GRAD_ID[(i, j, kk)]]
 
-    def dy(xc, zc):
-        return ((fetch(xc, up_lo[..., 1], zc) - fetch(xc, lo_lo[..., 1], zc))
-                * (1 - fy)
-                + (fetch(xc, up_up[..., 1], zc) - fetch(xc, lo_up[..., 1], zc))
-                * fy)
+    # Axis 0 (x): difference along x at the 4 (y, z) corner combinations.
+    def dx(jy, kz):
+        return ((p(2, jy, kz) - p(0, jy, kz)) * (1 - fx)
+                + (p(3, jy, kz) - p(1, jy, kz)) * fx)
 
-    gy = ((dy(lower[..., 0], lower[..., 2]) * (1 - fx)
-           + dy(upper[..., 0], lower[..., 2]) * fx) * (1 - fz)
-          + (dy(lower[..., 0], upper[..., 2]) * (1 - fx)
-             + dy(upper[..., 0], upper[..., 2]) * fx) * fz)
+    gx = ((dx(1, 1) * (1 - fy) + dx(2, 1) * fy) * (1 - fz)
+          + (dx(1, 2) * (1 - fy) + dx(2, 2) * fy) * fz)
 
-    def dz(xc, yc):
-        return ((fetch(xc, yc, up_lo[..., 2]) - fetch(xc, yc, lo_lo[..., 2]))
-                * (1 - fz)
-                + (fetch(xc, yc, up_up[..., 2]) - fetch(xc, yc, lo_up[..., 2]))
-                * fz)
+    def dy(ix, kz):
+        return ((p(ix, 2, kz) - p(ix, 0, kz)) * (1 - fy)
+                + (p(ix, 3, kz) - p(ix, 1, kz)) * fy)
 
-    gz = ((dz(lower[..., 0], lower[..., 1]) * (1 - fx)
-           + dz(upper[..., 0], lower[..., 1]) * fx) * (1 - fy)
-          + (dz(lower[..., 0], upper[..., 1]) * (1 - fx)
-             + dz(upper[..., 0], upper[..., 1]) * fx) * fy)
+    gy = ((dy(1, 1) * (1 - fx) + dy(2, 1) * fx) * (1 - fz)
+          + (dy(1, 2) * (1 - fx) + dy(2, 2) * fx) * fz)
 
-    g = jnp.stack([gx, gy, gz], axis=-1)
-    return g * (0.5 * geom.voxel_size)
+    def dz(ix, jy):
+        return ((p(ix, jy, 2) - p(ix, jy, 0)) * (1 - fz)
+                + (p(ix, jy, 3) - p(ix, jy, 1)) * fz)
+
+    gz = ((dz(1, 1) * (1 - fx) + dz(2, 1) * fx) * (1 - fy)
+          + (dz(1, 2) * (1 - fx) + dz(2, 2) * fx) * fy)
+
+    s = 0.5 * geom.voxel_size
+    return gx * s, gy * s, gz * s
+
+
+def grad(geom, state, field, pos, channel=0):
+    """Stacked-[..., 3] wrapper over :func:`grad_c`."""
+    gx, gy, gz = grad_c(geom, state, field,
+                        pos[..., 0], pos[..., 1], pos[..., 2], channel)
+    return jnp.stack([gx, gy, gz], axis=-1)

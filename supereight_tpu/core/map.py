@@ -135,6 +135,35 @@ def lookup_slot(state: MapState, bc: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(inb, s, -1)
 
 
+def lookup_slot_c(state: MapState, bx, by, bz):
+    """Component-wise :func:`lookup_slot` (coords must be in range).
+
+    One flat 1-D gather; hot paths carry x/y/z as separate arrays to
+    avoid TPU minor-dimension padding on [..., 3] stacks (see se3.py).
+    """
+    b = state.slot.shape[0]
+    return state.slot.reshape(-1)[(bx * b + by) * b + bz]
+
+
+def get_voxel_channel_c(geom: MapGeometry, state: MapState, field: FieldSpec,
+                        vx, vy, vz, channel: int, fill: float = None):
+    """Component-wise :func:`get_voxel_channel`: two flat gathers total."""
+    if fill is None:
+        fill = field.init[channel]
+    size = geom.size
+    inb = ((vx >= 0) & (vx < size) & (vy >= 0) & (vy < size)
+           & (vz >= 0) & (vz < size))
+    vxc = jnp.clip(vx, 0, size - 1)
+    vyc = jnp.clip(vy, 0, size - 1)
+    vzc = jnp.clip(vz, 0, size - 1)
+    s = lookup_slot_c(state, vxc >> 3, vyc >> 3, vzc >> 3)
+    ok = (s >= 0) & inb
+    lin = (vxc & 7) + ((vyc & 7) << 3) + ((vzc & 7) << 6)
+    flat = jnp.maximum(s, 0) * BLOCK_VOXELS + lin
+    data = state.data_x if channel == 0 else state.data_y
+    return jnp.where(ok, data.reshape(-1)[flat], fill)
+
+
 def voxel_linear_index(local: jnp.ndarray) -> jnp.ndarray:
     """In-brick linear index, x-major like the reference (node.hpp:139-153)."""
     return (local[..., 0]

@@ -83,6 +83,35 @@ def rotate(T, p):
     return _einsum("ij,...j->...i", T[:3, :3], p)
 
 
+# ---------------------------------------------------------------------------
+# Component-wise forms for hot per-pixel/per-voxel paths.
+#
+# TPU layouts pad an array's minor dimension to 128 lanes, so bulk math on
+# [..., 3]-stacked point clouds (and the tiny einsums above) runs with up
+# to ~40x wasted lanes and MXU padding. The hot pipeline stages therefore
+# carry x/y/z as three separate full-size arrays and apply transforms as
+# unrolled scalar-broadcast multiply-adds — exact f32 on the VPU (the
+# accuracy HIGHEST buys for the einsum path) and fully fusable.
+# ---------------------------------------------------------------------------
+
+def transform_c(T, x, y, z):
+    """Apply a 4x4 rigid/projective-affine transform to component arrays.
+
+    Returns (x', y', z') with the same shapes; equivalent to
+    :func:`transform` on stacked points.
+    """
+    return (T[0, 0] * x + T[0, 1] * y + T[0, 2] * z + T[0, 3],
+            T[1, 0] * x + T[1, 1] * y + T[1, 2] * z + T[1, 3],
+            T[2, 0] * x + T[2, 1] * y + T[2, 2] * z + T[2, 3])
+
+
+def rotate_c(T, x, y, z):
+    """Rotation-only component-wise form of :func:`rotate`."""
+    return (T[0, 0] * x + T[0, 1] * y + T[0, 2] * z,
+            T[1, 0] * x + T[1, 1] * y + T[1, 2] * z,
+            T[2, 0] * x + T[2, 1] * y + T[2, 2] * z)
+
+
 def camera_matrix(k):
     """4x4 intrinsics from k = (fx, fy, cx, cy) (ref commons.h:255-262)."""
     fx, fy, cx, cy = k[0], k[1], k[2], k[3]

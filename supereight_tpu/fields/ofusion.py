@@ -61,12 +61,12 @@ def update(old_x, old_y, pos_cam, depth_sample, noise_factor, timestamp,
 
     ``noise_factor`` is the pipeline's mu for the OFusion field;
     ``depth_sample`` should already be the bilinearly filtered depth
-    (ref interpDepth, mapping_impl.hpp:41-92).
+    (ref interpDepth, mapping_impl.hpp:41-92). ``pos_cam`` is an
+    (x, y, z) tuple of camera-frame component arrays.
     Returns (new_x, new_y, wrote).
     """
-    pz = pos_cam[..., 2]
-    ray_scale = jnp.sqrt(1.0 + (pos_cam[..., 0] / pz) ** 2
-                         + (pos_cam[..., 1] / pz) ** 2)
+    px, py_, pz = pos_cam
+    ray_scale = jnp.sqrt(1.0 + (px / pz) ** 2 + (py_ / pz) ** 2)
     diff = (pz - depth_sample) * ray_scale
     sigma = jnp.clip(noise_factor * pz * pz, 2.0 * voxel_size, 0.05)
     sample = H(diff / sigma)

@@ -24,14 +24,14 @@ TSDF = FieldSpec(
 def update(old_x, old_y, pos_cam, depth_sample, mu, valid):
     """Fuse one depth observation into TSDF voxels (ref sdf_update, 35-65).
 
-    pos_cam: voxel position in the camera frame, [..., 3].
+    pos_cam: voxel position in the camera frame — a (x, y, z) tuple of
+    component arrays (TPU shape discipline, se3.transform_c).
     Returns (new_x, new_y, wrote) with the running weighted mean of the
     truncated SDF along the pixel ray; non-writes pass old values through.
     """
-    pz = pos_cam[..., 2]
+    px, py_, pz = pos_cam
     # distance along the ray to the voxel's depth plane, scaled to ray length
-    ray_scale = jnp.sqrt(1.0 + (pos_cam[..., 0] / pz) ** 2
-                         + (pos_cam[..., 1] / pz) ** 2)
+    ray_scale = jnp.sqrt(1.0 + (px / pz) ** 2 + (py_ / pz) ** 2)
     diff = (depth_sample - pz) * ray_scale
     write = valid & (depth_sample > 0) & (diff > -mu)
     sdf = jnp.minimum(1.0, diff / mu)

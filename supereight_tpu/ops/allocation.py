@@ -25,11 +25,12 @@ from supereight_tpu.core import se3
 from supereight_tpu.core import map as m
 
 
-def _pixel_rays(depth, pose, k):
+def _pixel_rays_c(depth, pose, k):
     """World-space surface points and ray directions toward the camera.
 
     Mirrors the shared preamble of both allocators: worldVertex =
     pose * invK * ((x+.5)d, (y+.5)d, d), direction = normalize(cam - wv).
+    Component arrays out (TPU shape discipline, se3.transform_c).
     """
     h, w = depth.shape
     inv_k = se3.inverse_camera_matrix(k)
@@ -37,25 +38,28 @@ def _pixel_rays(depth, pose, k):
     xs = jnp.arange(w, dtype=jnp.float32) + 0.5
     ys = jnp.arange(h, dtype=jnp.float32) + 0.5
     px, py = jnp.meshgrid(xs, ys, indexing="xy")
-    pix = jnp.stack([px * depth, py * depth, depth], axis=-1)
-    world_vertex = se3.transform(kpose, pix)
+    wvx, wvy, wvz = se3.transform_c(kpose, px * depth, py * depth, depth)
     camera = pose[:3, 3]
-    direction = camera - world_vertex
-    norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
-    direction = direction / jnp.where(norm == 0, 1.0, norm)
-    return world_vertex, direction, camera
+    dx = camera[0] - wvx
+    dy = camera[1] - wvy
+    dz = camera[2] - wvz
+    norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    inv = 1.0 / jnp.where(norm == 0, 1.0, norm)
+    return (wvx, wvy, wvz), (dx * inv, dy * inv, dz * inv), camera
 
 
-def _scatter_touched(geom, positions, valid):
-    """Scatter sample positions (world meters, [..., 3]) into a block mask."""
-    b = geom.blocks_per_side
-    voxel = jnp.floor(positions * geom.inv_voxel_size).astype(jnp.int32)
-    inb = jnp.all((voxel >= 0) & (voxel < geom.size), axis=-1) & valid
-    bc = voxel // BLOCK_SIDE
-    bc = jnp.where(inb[..., None], bc, b)  # out-of-range -> dropped
-    touched = jnp.zeros((b, b, b), bool)
-    return touched.at[bc[..., 0].reshape(-1), bc[..., 1].reshape(-1),
-                      bc[..., 2].reshape(-1)].set(True, mode="drop")
+def _touched_cell_ids(geom, lvl, x, y, z, valid):
+    """Flat octant ids (level ``lvl``) of sample positions; invalid or
+    out-of-map samples map to the drop bucket ``side^3``."""
+    side = geom.blocks_per_side >> lvl
+    vx = jnp.floor(x * geom.inv_voxel_size).astype(jnp.int32)
+    vy = jnp.floor(y * geom.inv_voxel_size).astype(jnp.int32)
+    vz = jnp.floor(z * geom.inv_voxel_size).astype(jnp.int32)
+    inb = ((vx >= 0) & (vx < geom.size) & (vy >= 0) & (vy < geom.size)
+           & (vz >= 0) & (vz < geom.size)) & valid
+    shift = 3 + lvl
+    flat = ((vx >> shift) * side + (vy >> shift)) * side + (vz >> shift)
+    return jnp.where(inb, flat, side * side * side)
 
 
 def tsdf_touched_mask(geom, depth, pose, k, mu: float):
@@ -66,15 +70,23 @@ def tsdf_touched_mask(geom, depth, pose, k, mu: float):
     of touched 8^3 *blocks* matters, sampling every 2 voxels halves the
     scatter volume while still hitting every block the ray spends >2
     voxels in (a corner-clipped block can be picked up a frame later)."""
+    b = geom.blocks_per_side
     band = 2.0 * mu
     num_steps = int(math.ceil(band * geom.inv_voxel_size / 2.0))
-    world_vertex, direction, _ = _pixel_rays(depth, pose, k)
-    origin = world_vertex - (band * 0.5) * direction
+    (wvx, wvy, wvz), (dx, dy, dz), _ = _pixel_rays_c(depth, pose, k)
+    ox = wvx - (band * 0.5) * dx
+    oy = wvy - (band * 0.5) * dy
+    oz = wvz - (band * 0.5) * dz
     step = band / num_steps
-    s = jnp.arange(num_steps, dtype=jnp.float32) * step
-    positions = origin[..., None, :] + s[:, None] * direction[..., None, :]
-    valid = (depth > 0)[..., None] & jnp.ones(num_steps, bool)
-    return _scatter_touched(geom, positions, valid)
+    valid = depth > 0
+    flat = jnp.zeros((b * b * b + 1,), bool)
+    ids = []
+    for i in range(num_steps):        # sample dim unrolled: [h, w] tensors
+        t = i * step
+        ids.append(_touched_cell_ids(geom, 0, ox + dx * t, oy + dy * t,
+                                     oz + dz * t, valid))
+    flat = flat.at[jnp.stack(ids).reshape(-1)].set(True, mode="drop")
+    return flat[:-1].reshape(b, b, b)
 
 
 def ofusion_step_ladder(geom, band: float, max_dist: float):
@@ -120,30 +132,33 @@ def ofusion_touched_masks(geom, depth, pose, k, mu: float,
         max_dist = geom.dim * math.sqrt(3.0)
     travelled, sample_levels = ofusion_step_ladder(geom, band, max_dist)
 
-    world_vertex, direction, camera = _pixel_rays(depth, pose, k)
-    origin = world_vertex - (band * 0.5) * direction
-    dist = jnp.linalg.norm(camera - origin, axis=-1)
+    (wvx, wvy, wvz), (dx, dy, dz), camera = _pixel_rays_c(depth, pose, k)
+    ox = wvx - (band * 0.5) * dx
+    oy = wvy - (band * 0.5) * dy
+    oz = wvz - (band * 0.5) * dz
+    dist = jnp.sqrt((camera[0] - ox) ** 2 + (camera[1] - oy) ** 2
+                    + (camera[2] - oz) ** 2)
 
     b = geom.blocks_per_side
-    masks = {0: jnp.zeros((b, b, b), bool),
-             1: jnp.zeros((b // 2,) * 3, bool),
-             2: jnp.zeros((b // 4,) * 3, bool)}
-    trav = jnp.asarray(travelled, jnp.float32)
+    masks = {}
+    valid0 = depth > 0
     for lvl in sorted(set(sample_levels)):
-        sel = [i for i, l in enumerate(sample_levels) if l == lvl]
-        ts = trav[jnp.asarray(sel)]
-        positions = (origin[..., None, :]
-                     + ts[:, None] * direction[..., None, :])
-        valid = ((depth > 0)[..., None]
-                 & (ts[None, None, :] < dist[..., None]))
-        voxel = jnp.floor(positions * geom.inv_voxel_size).astype(jnp.int32)
-        inb = jnp.all((voxel >= 0) & (voxel < geom.size), axis=-1) & valid
-        side_blocks = b >> lvl
-        oc = voxel // (BLOCK_SIDE << lvl)
-        oc = jnp.where(inb[..., None], oc, side_blocks)
-        masks[lvl] = masks[lvl].at[
-            oc[..., 0].reshape(-1), oc[..., 1].reshape(-1),
-            oc[..., 2].reshape(-1)].set(True, mode="drop")
+        side = b >> lvl
+        ids = []
+        for i, l in enumerate(sample_levels):
+            if l != lvl:
+                continue
+            t = travelled[i]
+            ids.append(_touched_cell_ids(
+                geom, lvl, ox + dx * t, oy + dy * t, oz + dz * t,
+                valid0 & (t < dist)))
+        flat = jnp.zeros((side ** 3 + 1,), bool)
+        flat = flat.at[jnp.stack(ids).reshape(-1)].set(True, mode="drop")
+        masks[lvl] = flat[:-1].reshape(side, side, side)
+    for lvl in (0, 1, 2):
+        if lvl not in masks:
+            side = b >> lvl
+            masks[lvl] = jnp.zeros((side,) * 3, bool)
 
     extra = [None] * geom.num_levels
     if geom.num_levels > 1:

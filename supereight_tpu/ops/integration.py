@@ -10,6 +10,8 @@ the slot mask, like the reference's parallel filter,
 algorithms/filter.hpp:61-107); the per-block 8x8x8 voxel update is a
 single batched program of shape [budget, 512] (maps onto the VPU); the
 node pass is a dense update over each mip level gated by mip_alloc.
+Coordinates are carried as separate x/y/z arrays of shape [budget, 512]
+(large minor dim; no [..., 3] stacking — see se3.transform_c).
 """
 
 import functools
@@ -24,20 +26,24 @@ from supereight_tpu.fields import ofusion as ofusion_field
 
 # local voxel offsets in brick-linear order (x + 8y + 64z)
 _LIN = jnp.arange(BLOCK_VOXELS, dtype=jnp.int32)
-_LOCAL = jnp.stack([_LIN % 8, (_LIN // 8) % 8, _LIN // 64], axis=-1)
+_LOCAL_X = _LIN % 8
+_LOCAL_Y = (_LIN // 8) % 8
+_LOCAL_Z = _LIN // 64
 
 
 def in_frustum_mask(geom, state, t_cw, k, frame_size):
     """Per-slot frustum predicate (ref algorithms::in_frustum,
     filter.hpp:37-49): project the block's origin corner."""
     w, h = frame_size
-    origin_m = (state.block_coord * BLOCK_SIDE).astype(jnp.float32) \
-        * geom.voxel_size
-    cam = se3.transform(t_cw, origin_m)
-    pix = se3.transform(k, cam)
-    z = jnp.where(pix[..., 2] == 0, 1e-12, pix[..., 2])
-    px = (pix[..., 0] / z).astype(jnp.int32)
-    py = (pix[..., 1] / z).astype(jnp.int32)
+    scale = BLOCK_SIDE * geom.voxel_size
+    ox = state.block_coord[:, 0].astype(jnp.float32) * scale
+    oy = state.block_coord[:, 1].astype(jnp.float32) * scale
+    oz = state.block_coord[:, 2].astype(jnp.float32) * scale
+    cx, cy, cz = se3.transform_c(t_cw, ox, oy, oz)
+    px_, py_, pz_ = se3.transform_c(k, cx, cy, cz)
+    z = jnp.where(pz_ == 0, 1e-12, pz_)
+    px = (px_ / z).astype(jnp.int32)
+    py = (py_ / z).astype(jnp.int32)
     return (z > 0) & (px >= 0) & (px < w) & (py >= 0) & (py < h)
 
 
@@ -58,32 +64,32 @@ def build_active_worklist(geom, state, t_cw, k, frame_size, budget: int):
     return worklist.at[dest].set(slot_ids, mode="drop")
 
 
-def _project_voxels(geom, pos_world_m, t_cw, k, frame_size):
+def _project_voxels_c(geom, wx, wy, wz, t_cw, k, frame_size):
     """Camera-frame position + pixel coords + validity for sample points.
 
     Mirrors update_block's projection (projective_functor.hpp:85-103):
     pixel = K*pos / z + 0.5, valid when z >= 1e-4 and pixel in
-    [0.5, size-1.5]."""
+    [0.5, size-1.5]. Component arrays in, component arrays out.
+    """
     w, h = frame_size
-    pos_cam = se3.transform(t_cw, pos_world_m)
-    cam_pix = se3.transform(k, pos_cam)
-    z = pos_cam[..., 2]
-    safe = jnp.where(cam_pix[..., 2] == 0, 1e-12, cam_pix[..., 2])
-    px = cam_pix[..., 0] / safe + 0.5
-    py = cam_pix[..., 1] / safe + 0.5
-    valid = ((z >= 1e-4)
+    cx, cy, cz = se3.transform_c(t_cw, wx, wy, wz)
+    kx, ky, kz = se3.transform_c(k, cx, cy, cz)
+    safe = jnp.where(kz == 0, 1e-12, kz)
+    px = kx / safe + 0.5
+    py = ky / safe + 0.5
+    valid = ((cz >= 1e-4)
              & (px >= 0.5) & (px <= w - 1.5)
              & (py >= 0.5) & (py <= h - 1.5))
-    return pos_cam, px, py, valid
+    return (cx, cy, cz), px, py, valid
 
 
 def _sample_depth(depth, px, py):
     """Nearest-neighbour depth fetch at truncated pixel coords
-    (ref sdf_update/bfusion_update: depth[int(pixel)])."""
+    (ref sdf_update/bfusion_update: depth[int(pixel)]); one flat gather."""
     h, w = depth.shape
     xi = jnp.clip(px.astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(py.astype(jnp.int32), 0, h - 1)
-    return depth[yi, xi]
+    return depth.reshape(-1)[yi * w + xi]
 
 
 def _field_update(field, old_x, old_y, pos_cam, depth_sample, valid, *,
@@ -115,16 +121,18 @@ def integrate(geom, state, field, depth, pose, k, mu, timestamp,
     slots = jnp.minimum(wl, cap - 1)
 
     bc = state.block_coord[slots]                       # [budget, 3]
-    vox = bc[:, None, :] * BLOCK_SIDE + _LOCAL[None]    # [budget, 512, 3]
-    pos_world = vox.astype(jnp.float32) * geom.voxel_size
-    pos_cam, px, py, valid = _project_voxels(geom, pos_world, t_cw, K,
-                                             frame_size)
+    vs = geom.voxel_size
+    wx = (bc[:, 0:1] * BLOCK_SIDE + _LOCAL_X[None]).astype(jnp.float32) * vs
+    wy = (bc[:, 1:2] * BLOCK_SIDE + _LOCAL_Y[None]).astype(jnp.float32) * vs
+    wz = (bc[:, 2:3] * BLOCK_SIDE + _LOCAL_Z[None]).astype(jnp.float32) * vs
+    (cx, cy, cz), px, py, valid = _project_voxels_c(geom, wx, wy, wz, t_cw,
+                                                    K, frame_size)
     valid = valid & present[:, None]
     depth_sample = _sample_depth(depth, px, py)
 
     old_x = state.data_x[slots]
     old_y = state.data_y[slots]
-    new_x, new_y, _ = _field_update(field, old_x, old_y, pos_cam,
+    new_x, new_y, _ = _field_update(field, old_x, old_y, (cx, cy, cz),
                                     depth_sample, valid, mu=mu,
                                     timestamp=timestamp,
                                     voxel_size=geom.voxel_size)
@@ -146,18 +154,17 @@ def integrate(geom, state, field, depth, pose, k, mu, timestamp,
     new_mips_x, new_mips_y = [], []
     for lvl in range(geom.num_levels):
         side = geom.blocks_per_side >> lvl
-        octant_vox = BLOCK_SIDE << lvl
-        g = jnp.arange(side, dtype=jnp.int32)
-        gx, gy, gz = jnp.meshgrid(g, g, g, indexing="ij")
-        coords = jnp.stack([gx, gy, gz], axis=-1)
-        pos_world = coords.astype(jnp.float32) * (octant_vox
-                                                  * geom.voxel_size)
-        pos_cam, px, py, valid = _project_voxels(geom, pos_world, t_cw, K,
-                                                 frame_size)
+        octant_m = (BLOCK_SIDE << lvl) * geom.voxel_size
+        g = jnp.arange(side, dtype=jnp.float32) * octant_m
+        wx = g[:, None, None] + jnp.zeros((side, side, side))
+        wy = g[None, :, None] + jnp.zeros((side, side, side))
+        wz = g[None, None, :] + jnp.zeros((side, side, side))
+        (cx, cy, cz), px, py, valid = _project_voxels_c(
+            geom, wx, wy, wz, t_cw, K, frame_size)
         valid = valid & state.mip_alloc[lvl]
         ds = _sample_depth(depth, px, py)
         nx, ny, _ = _field_update(field, state.mip_x[lvl], state.mip_y[lvl],
-                                  pos_cam, ds, valid, mu=mu,
+                                  (cx, cy, cz), ds, valid, mu=mu,
                                   timestamp=timestamp,
                                   voxel_size=geom.voxel_size)
         new_mips_x.append(nx)

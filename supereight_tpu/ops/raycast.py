@@ -8,12 +8,18 @@ bfusion/rendering_impl.hpp:35-68 (occupancy constant-step march).
 TPU design: every pixel marches in lockstep inside one
 ``lax.while_loop`` over whole-image state tensors; finished rays mask
 out. The reference's hierarchical ray iterator
-(se_core/include/se/ray_iterator.hpp) exists purely to find the first
-allocated block; the equivalent skipping here falls out of the
-"unknown voxel -> large step" rule (volume.get of unallocated space
-returns weight 0), so no octree descent is required. Ray/map-AABB
-clipping replicates the commented KinectFusion preamble
+(se_core/include/se/ray_iterator.hpp) exists purely to skip free space
+to the first allocated block; here that skipping is folded INTO the
+march via a per-block jump map: a single i32 grid holding *slot id* for
+allocated blocks and *-(1 + chebyshev block distance to the nearest
+allocated block)* for empty ones, so one gather per step yields both
+the field sample and the safe empty-space jump. Ray/map-AABB clipping
+replicates the commented KinectFusion preamble
 (kfusion/rendering_impl.hpp:76-104) that the ray iterator subsumes.
+
+Shape discipline (the actual TPU perf story): all per-ray state is a
+flat [N] f32/i32 tensor — never [..., 3]-stacked, never a small minor
+dim — and every fetch is one flat 1-D gather. See se3.transform_c.
 """
 
 import functools
@@ -25,151 +31,117 @@ import numpy as np
 from supereight_tpu.constants import (BLOCK_SIDE, FAR_PLANE, INVALID,
                                       NEAR_PLANE, SURF_BOUNDARY)
 from supereight_tpu.core import interp as interp_mod
-from supereight_tpu.core import map as m
 from supereight_tpu.core import se3
 
 
-def ray_directions(view, width, height):
-    """Per-pixel world-space ray dirs (ref rendering.cpp:62-65);
-    view = raycast_pose @ invK."""
+def ray_directions_c(view, width, height):
+    """Per-pixel world-space ray dir components (ref rendering.cpp:62-65);
+    view = raycast_pose @ invK. Returns three [h, w] arrays."""
     xs = jnp.arange(width, dtype=jnp.float32)
     ys = jnp.arange(height, dtype=jnp.float32)
     px, py = jnp.meshgrid(xs, ys, indexing="xy")
-    pix = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)
-    d = jnp.einsum("ij,hwj->hwi", view[:3, :3], pix,
-                   precision=jax.lax.Precision.HIGHEST)
-    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dx, dy, dz = se3.rotate_c(view, px, py, jnp.ones_like(px))
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    return dx * inv, dy * inv, dz * inv
 
 
-def ray_box_range(origin, direction, dim, near=NEAR_PLANE, far=FAR_PLANE):
-    """Clip rays against the map cube [0, dim]^3 and the near/far planes."""
-    inv = 1.0 / jnp.where(direction == 0, 1e-12, direction)
-    tbot = -origin * inv
-    ttop = (dim - origin) * inv
-    tmin = jnp.minimum(tbot, ttop).max(axis=-1)
-    tmax = jnp.maximum(tbot, ttop).min(axis=-1)
+def ray_directions(view, width, height):
+    """Stacked [h, w, 3] wrapper (rendering paths)."""
+    dx, dy, dz = ray_directions_c(view, width, height)
+    return jnp.stack([dx, dy, dz], axis=-1)
+
+
+def ray_box_range_c(origin, dx, dy, dz, dim, near=NEAR_PLANE, far=FAR_PLANE):
+    """Clip rays against the map cube [0, dim]^3 and the near/far planes.
+
+    ``origin`` is the (shared) camera position, a length-3 vector.
+    """
+    def axis(o, d):
+        inv = 1.0 / jnp.where(d == 0, 1e-12, d)
+        a, b = -o * inv, (dim - o) * inv
+        return jnp.minimum(a, b), jnp.maximum(a, b)
+
+    lo_x, hi_x = axis(origin[0], dx)
+    lo_y, hi_y = axis(origin[1], dy)
+    lo_z, hi_z = axis(origin[2], dz)
+    tmin = jnp.maximum(jnp.maximum(lo_x, lo_y), lo_z)
+    tmax = jnp.minimum(jnp.minimum(hi_x, hi_y), hi_z)
     return jnp.maximum(tmin, near), jnp.minimum(tmax, far)
 
 
-def jump_distance_field(geom, state, max_jump: int = 6):
-    """Chebyshev distance (in block units, capped) to the nearest
-    allocated block, for safe empty-space jumps.
+def block_jump_map(geom, state, max_jump: int = 6):
+    """Flat i32[B^3]: pool slot if allocated, else -(1 + chebyshev block
+    distance to the nearest allocated block, capped at ``max_jump``).
 
-    Computed per raycast call by ``max_jump`` dense 3^3 min-dilations of
-    the allocation mask — a few dense VPU passes over the [B^3] grid,
-    negligible next to the march. This is the TPU replacement for the
-    reference ray iterator's hierarchy descent (ray_iterator.hpp:116-226):
-    instead of walking an octree to skip empty space, every ray reads how
-    far it may safely jump.
+    The distance comes from ``max_jump - 1`` dense 3^3 min-dilations of
+    the allocation mask — a few VPU passes over the [B^3] grid,
+    negligible next to the march. This replaces the reference ray
+    iterator's octree descent (ray_iterator.hpp:116-226): instead of
+    walking a tree to skip empty space, every ray reads how far it may
+    safely jump from the same word that addresses the field sample.
     """
-    occupied = (state.slot >= 0)
+    occupied = state.slot >= 0
     d = jnp.where(occupied, 0, max_jump).astype(jnp.float32)
     for _ in range(max_jump - 1):
         neigh = -jax.lax.reduce_window(
             -d, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
         d = jnp.minimum(d, neigh + 1.0)
-    return d.astype(jnp.int32)
+    jump = jnp.where(occupied, state.slot, -(1 + d.astype(jnp.int32)))
+    return jump.reshape(-1)
 
 
-def first_allocated_t(geom, state, origin, direction, tnear, tfar,
-                      step_vox: int = 4, dist=None):
-    """Skip phase: advance each ray to its first allocated block.
-
-    Marches on :func:`jump_distance_field`, stepping
-    ``(dist-1) * BLOCK_SIDE + step_vox`` voxels per sample — empty space
-    is crossed in block-sized jumps, so the loop runs ~O(surface depth /
-    jump) iterations of a single 1-byte-class gather. Sampling inside the
-    distance-0 shell at ``step_vox`` (half a block) cannot overshoot any
-    block the ray spends >= 4 voxels in.
-
-    Returns (t_first, found): entry-conservative distance (one sample
-    before the first occupied sample) and whether any block was found.
-    """
-    fine = step_vox * geom.voxel_size
-    b = geom.blocks_per_side
-    if dist is None:
-        dist = jump_distance_field(geom, state)
-
-    def probe(t):
-        pos = origin + direction * t[..., None]
-        bc = jnp.clip((pos * geom.inv_voxel_size).astype(jnp.int32)
-                      // BLOCK_SIDE, 0, b - 1)
-        return dist[bc[..., 0], bc[..., 1], bc[..., 2]]
-
-    def cond(carry):
-        t, found, done, it = carry
-        return jnp.any(~(found | done)) & (it < 4 * geom.size)
-
-    def body(carry):
-        t, found, done, it = carry
-        active = ~(found | done)
-        d = probe(t)
-        hit = (d == 0) & active
-        step = (jnp.maximum(d - 1, 0) * BLOCK_SIDE).astype(jnp.float32) \
-            * geom.voxel_size + fine
-        new_t = jnp.where(active & ~hit, t + step, t)
-        new_done = done | (active & ~hit & (new_t >= tfar))
-        return (new_t, found | hit, new_done, it + 1)
-
-    t0 = jnp.maximum(tnear, 0.0)
-    t, found, _, _ = jax.lax.while_loop(
-        cond, body, (t0, jnp.zeros_like(t0, bool),
-                     tnear >= tfar, jnp.int32(0)))
-    return jnp.maximum(t - fine, tnear), found
-
-
-def _voxel_get(geom, state, field, pos_m):
-    """volume.get: nearest-voxel fetch at metric position (init if missing),
-    ref volume_template.hpp:76-83 -> octree get_fine."""
-    v = (pos_m * geom.inv_voxel_size).astype(jnp.int32)  # C float->int trunc
-    return m.get_voxel(geom, state, field, v)
-
-
-def _interp(geom, state, field, pos_m):
-    return interp_mod.interp(geom, state, field,
-                             pos_m * geom.inv_voxel_size, channel=0)
-
-
-def _march_field(geom, state):
-    """Derived marching field: voxel value with +inf marking unknown space.
+def _march_field(state):
+    """Flat marching field: voxel value with +inf marking unknown space.
 
     One flat array so each marching step costs ONE gather; the unknown
     test (reference: data.y == 0 -> large step) and the value test ride
-    the same fetch. Rebuilt per raycast call — a dense elementwise pass
-    over the pool, negligible next to the march itself."""
+    the same fetch (get_fine's init {x:1, y:0} classification)."""
     return jnp.where(state.data_y == 0, jnp.inf, state.data_x).reshape(-1)
 
 
-def _march_sample(geom, state, march_flat, pos_m):
-    """Single-gather fetch of the marching field at a metric position.
+def _sample(geom, jump_flat, march_flat, px, py, pz):
+    """One marching probe at metric position components.
 
-    Out-of-bounds / unallocated space reads +inf (unknown), matching
-    get_fine's init {x:1, y:0} classification."""
-    v = (pos_m * geom.inv_voxel_size).astype(jnp.int32)
-    vv = jnp.clip(v, 0, geom.size - 1)
-    inb = jnp.all((v >= 0) & (v < geom.size), axis=-1)
-    bc = vv // BLOCK_SIDE
-    sl = m.lookup_slot(state, bc)
-    ok = (sl >= 0) & inb
-    lin = m.voxel_linear_index(vv % BLOCK_SIDE)
-    flat = jnp.maximum(sl, 0) * 512 + lin
-    return jnp.where(ok, march_flat[flat], jnp.inf)
-
-
-def _jump_step(geom, dist, pos, largestep):
-    """Safe step size in unknown space from the jump-distance field."""
-    b = geom.blocks_per_side
-    bc = jnp.clip((pos * geom.inv_voxel_size).astype(jnp.int32)
-                  // BLOCK_SIDE, 0, b - 1)
-    d = dist[bc[..., 0], bc[..., 1], bc[..., 2]]
-    return jnp.maximum(
-        largestep,
-        (jnp.maximum(d - 1, 0) * BLOCK_SIDE).astype(jnp.float32)
-        * geom.voxel_size + 0.5 * largestep)
+    Returns (value, known, jump_dist_blocks): a single pair of flat
+    gathers — block word (slot | -(1+dist)) then voxel value.
+    """
+    size, b = geom.size, geom.blocks_per_side
+    vx = (px * geom.inv_voxel_size).astype(jnp.int32)
+    vy = (py * geom.inv_voxel_size).astype(jnp.int32)
+    vz = (pz * geom.inv_voxel_size).astype(jnp.int32)
+    inb = ((vx >= 0) & (vx < size) & (vy >= 0) & (vy < size)
+           & (vz >= 0) & (vz < size))
+    vx = jnp.clip(vx, 0, size - 1)
+    vy = jnp.clip(vy, 0, size - 1)
+    vz = jnp.clip(vz, 0, size - 1)
+    mt = jump_flat[((vx >> 3) * b + (vy >> 3)) * b + (vz >> 3)]
+    lin = (vx & 7) + ((vy & 7) << 3) + ((vz & 7) << 6)
+    mx = march_flat[jnp.maximum(mt, 0) * 512 + lin]
+    known = (mt >= 0) & inb & ~jnp.isinf(mx)
+    dist = jnp.where(mt < 0, (-1 - mt).astype(jnp.float32), 0.0)
+    return mx, known, dist
 
 
-def _march_tsdf(geom, state, field, origin, direction, tnear, tfar, mu,
-                step, largestep, max_steps, found=None, dist=None):
+def _interp_at(geom, state, field, ox, oy, oz, dx, dy, dz, t):
+    v = geom.inv_voxel_size
+    return interp_mod.interp_c(geom, state, field,
+                               (ox + dx * t) * v, (oy + dy * t) * v,
+                               (oz + dz * t) * v, channel=0)
+
+
+def _compact_stragglers(shape_n, budget, unfinished):
+    """Fixed-budget worklist of unfinished ray indices (two-pass
+    divergence handling: lockstep marching pays the slowest ray per
+    iteration, so the few long rays finish in a small dense batch)."""
+    order = jnp.cumsum(unfinished.astype(jnp.int32)) - 1
+    dest = jnp.where(unfinished & (order < budget), order, budget)
+    wl = jnp.full((budget,), -1, jnp.int32).at[dest].set(
+        jnp.arange(shape_n, dtype=jnp.int32), mode="drop")
+    return wl
+
+
+def _march_tsdf(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
+                step, largestep, max_steps, jump_flat=None):
     """TSDF sphere tracing (behavior of kfusion/rendering_impl.hpp:34-74).
 
     Marching decisions use the voxel-sampled field (one gather/step); the
@@ -179,87 +151,74 @@ def _march_tsdf(geom, state, field, origin, direction, tnear, tfar, mu,
     interpolation and the zero crossing solved linearly — same sub-voxel
     accuracy, an order of magnitude less gather traffic.
 
-    ``found`` gates rays that intersect no allocated block (the
-    reference's t_min > 0 check, rendering.cpp:68-71); ``tnear`` is then
-    the skip-phase entry distance, matching ray.tcmin().
-
-    Divergence handling: lockstep marching pays the *slowest* ray per
-    iteration (the reference's independent CPU loops do not), so the
-    march runs in two passes — a short full-image pass, then the few
-    unfinished stragglers (grazing rays sliding along surface bands, far
-    misses) are compacted into a small dense batch and finished there.
+    Unknown space (unallocated blocks or weight-0 voxels) takes
+    jump-map-sized steps (the reference's ray-iterator skip + its
+    largestep rule); known space sphere-traces on mu-scaled values.
     """
-    shape = tnear.shape
-    march_flat = _march_field(geom, state)
-    f_t0 = _interp(geom, state, field, origin + direction * tnear[..., None])
+    n = tnear.shape[0]
+    march_flat = _march_field(state)
+    if jump_flat is None:
+        jump_flat = block_jump_map(geom, state)
+    bstep = BLOCK_SIDE * geom.voxel_size
+
+    f_t0 = _interp_at(geom, state, field, origin[0], origin[1], origin[2],
+                      dx, dy, dz, tnear)
     # status: 0 = marching, 1 = hit, 2 = done/no-hit
     go = (tnear < tfar) & (f_t0 > 0)
-    if found is not None:
-        go = go & found
-    status = jnp.where(go, 0, 2).astype(jnp.int32)
+    status0 = jnp.where(go, 0, 2).astype(jnp.int32)
 
-    def body(origin, direction, tfar):
+    def body(dxx, dyy, dzz, tff):
         def fn(carry):
             t, ss, f_t, f_tt, status, it = carry
-            pos = origin + direction * t[..., None]
-            mx = _march_sample(geom, state, march_flat, pos)
-            unknown = jnp.isinf(mx)
+            mx, known, dist = _sample(
+                geom, jump_flat, march_flat,
+                origin[0] + dxx * t, origin[1] + dyy * t,
+                origin[2] + dzz * t)
             active = status == 0
 
-            hit = active & ~unknown & (mx < 0)
-            new_f_tt = jnp.where(active & ~unknown, mx, f_tt)
-            new_f_t = jnp.where(active & ~unknown & ~hit, mx, f_t)
+            hit = active & known & (mx < 0)
+            new_f_tt = jnp.where(active & known, mx, f_tt)
+            new_f_t = jnp.where(active & known & ~hit, mx, f_t)
             # on a hit the reference breaks *before* refreshing stepsize —
             # the refinement uses the step that reached the crossing
-            unknown_step = (largestep if dist is None
-                            else _jump_step(geom, dist, pos, largestep))
-            new_ss = jnp.where(unknown, unknown_step,
-                               jnp.maximum(new_f_tt * mu, step))
+            jump = jnp.maximum(largestep,
+                               jnp.maximum(dist - 1, 0.0) * bstep
+                               + 0.5 * largestep)
+            new_ss = jnp.where(known, jnp.maximum(new_f_tt * mu, step), jump)
             new_ss = jnp.where(active & ~hit, new_ss, ss)
             new_t = jnp.where(active & ~hit, t + new_ss, t)
             new_status = jnp.where(hit, 1, status)
-            new_status = jnp.where(active & ~hit & (new_t >= tfar), 2,
+            new_status = jnp.where(active & ~hit & (new_t >= tff), 2,
                                    new_status)
             return (new_t, new_ss, new_f_t, new_f_tt, new_status, it + 1)
         return fn
 
-    def run(carry, origin, direction, tfar, steps):
+    def run(carry, dxx, dyy, dzz, tff, steps):
         def cond(c):
             return jnp.any(c[4] == 0) & (c[5] < steps)
-        return jax.lax.while_loop(cond, body(origin, direction, tfar),
-                                  carry)
+        return jax.lax.while_loop(cond, body(dxx, dyy, dzz, tff), carry)
 
-    pass1_steps = min(64, max_steps)
-    carry = (jnp.zeros(shape) + tnear,             # t
-             jnp.full(shape, largestep),           # stepsize
-             jnp.full(shape, jnp.inf),             # f_t (last known sample)
-             jnp.zeros(shape), status, jnp.int32(0))
-    t, ss, f_t, f_tt, status, _ = run(carry, origin, direction, tfar,
-                                      pass1_steps)
+    pass1_steps = min(96, max_steps)
+    carry = (tnear + 0.0,                          # t
+             jnp.full((n,), largestep),            # stepsize
+             jnp.full((n,), jnp.inf),              # f_t (last known sample)
+             jnp.zeros((n,)), status0, jnp.int32(0))
+    t, ss, f_t, f_tt, status, _ = run(carry, dx, dy, dz, tfar, pass1_steps)
 
     if max_steps > pass1_steps:
-        n = int(np.prod(shape))
         budget = max(1024, n // 16)
-        unfinished = (status == 0).reshape(-1)
-        order = jnp.cumsum(unfinished.astype(jnp.int32)) - 1
-        dest = jnp.where(unfinished & (order < budget), order, budget)
-        wl = jnp.full((budget,), -1, jnp.int32).at[dest].set(
-            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        wl = _compact_stragglers(n, budget, (status == 0))
         wlc = jnp.maximum(wl, 0)
 
-        def take(x):
-            return x.reshape(n, *x.shape[len(shape):])[wlc]
-
         sub_status = jnp.where(wl >= 0, 0, 2).astype(jnp.int32)
-        sub = (take(t), take(ss), take(f_t), take(f_tt), sub_status,
+        sub = (t[wlc], ss[wlc], f_t[wlc], f_tt[wlc], sub_status,
                jnp.int32(0))
         s_t, s_ss, s_ft, s_ftt, s_status, _ = run(
-            sub, take(origin), take(direction), take(tfar),
+            sub, dx[wlc], dy[wlc], dz[wlc], tfar[wlc],
             max_steps - pass1_steps)
 
         def put(full, vals):
-            return full.reshape(-1).at[jnp.where(wl >= 0, wl, n)].set(
-                vals, mode="drop").reshape(shape)
+            return full.at[jnp.where(wl >= 0, wl, n)].set(vals, mode="drop")
 
         t = put(t, s_t)
         ss = put(ss, s_ss)
@@ -271,9 +230,10 @@ def _march_tsdf(geom, state, field, origin, direction, tnear, tfar, mu,
     hit = status == 1
     # trilinear refinement at the bracket ends (the accuracy the
     # reference gets from its in-window interp switch)
-    fa = _interp(geom, state, field,
-                 origin + direction * (t - ss)[..., None])
-    fb = _interp(geom, state, field, origin + direction * t[..., None])
+    fa = _interp_at(geom, state, field, origin[0], origin[1], origin[2],
+                    dx, dy, dz, t - ss)
+    fb = _interp_at(geom, state, field, origin[0], origin[1], origin[2],
+                    dx, dy, dz, t)
     use_interp = hit & (fb < 0) & (fa >= 0)
     f_hi = jnp.where(use_interp, fa, jnp.where(jnp.isinf(f_t), 1.0, f_t))
     f_lo = jnp.where(use_interp, fb, f_tt)
@@ -282,42 +242,45 @@ def _march_tsdf(geom, state, field, origin, direction, tnear, tfar, mu,
     return jnp.where(hit, t_hit, 0.0), hit
 
 
-def _march_ofusion(geom, state, field, origin, direction, tnear, tfar, mu,
-                   step, largestep, max_steps, found=None, dist=None):
+def _march_ofusion(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
+                   step, largestep, max_steps, jump_flat=None):
     """Occupancy marching (behavior of bfusion/rendering_impl.hpp:35-68).
 
     Constant voxel step inside allocated blocks; unallocated blocks hold
-    no observed voxels, so they are crossed at block-sized steps (the
+    no observed voxels, so they are crossed at jump-map-sized steps (the
     reference samples them anyway and learns nothing — skipping them
     cannot change which observed samples are seen). Crossing detection on
     voxel samples, trilinear refinement at the bracket."""
-    shape = tnear.shape
-    march_flat = _march_field(geom, state)
-    f_00 = _interp(geom, state, field, origin + direction * tnear[..., None])
-    go = (tnear < tfar) & (f_00 <= SURF_BOUNDARY)
-    if found is not None:
-        go = go & found
-    status = jnp.where(go, 0, 2).astype(jnp.int32)
+    n = tnear.shape[0]
+    march_flat = _march_field(state)
+    if jump_flat is None:
+        jump_flat = block_jump_map(geom, state)
+    bstep = BLOCK_SIDE * geom.voxel_size
 
-    state0 = (jnp.zeros(shape) + tnear, jnp.full(shape, step),
-              jnp.zeros(shape), jnp.zeros(shape), status, jnp.int32(0))
+    f_00 = _interp_at(geom, state, field, origin[0], origin[1], origin[2],
+                      dx, dy, dz, tnear)
+    go = (tnear < tfar) & (f_00 <= SURF_BOUNDARY)
+    status0 = jnp.where(go, 0, 2).astype(jnp.int32)
+
+    state0 = (tnear + 0.0, jnp.full((n,), step),
+              jnp.zeros((n,)), jnp.zeros((n,)), status0, jnp.int32(0))
 
     def cond(carry):
-        t, ss, f_t, f_tt, status, it = carry
-        return jnp.any(status == 0) & (it < max_steps)
+        return jnp.any(carry[4] == 0) & (carry[5] < max_steps)
 
     def body(carry):
         t, ss, f_t, f_tt, status, it = carry
-        pos = origin + direction * t[..., None]
-        mx = _march_sample(geom, state, march_flat, pos)
-        unknown = jnp.isinf(mx)
+        mx, known, dist = _sample(
+            geom, jump_flat, march_flat,
+            origin[0] + dx * t, origin[1] + dy * t, origin[2] + dz * t)
         active = status == 0
-        hit = active & ~unknown & (mx > SURF_BOUNDARY)
-        new_f_tt = jnp.where(active & ~unknown, mx, f_tt)
+        hit = active & known & (mx > SURF_BOUNDARY)
+        new_f_tt = jnp.where(active & known, mx, f_tt)
         new_f_t = jnp.where(active & ~hit, new_f_tt, f_t)
-        unknown_step = (largestep if dist is None
-                        else _jump_step(geom, dist, pos, largestep))
-        new_ss = jnp.where(unknown, unknown_step, step)
+        jump = jnp.maximum(largestep,
+                           jnp.maximum(dist - 1, 0.0) * bstep
+                           + 0.5 * largestep)
+        new_ss = jnp.where(known, step, jump)
         new_ss = jnp.where(active & ~hit, new_ss, ss)
         new_t = jnp.where(active & ~hit, t + new_ss, t)
         new_status = jnp.where(hit, 1, status)
@@ -327,9 +290,10 @@ def _march_ofusion(geom, state, field, origin, direction, tnear, tfar, mu,
 
     t, ss, f_t, f_tt, status, _ = jax.lax.while_loop(cond, body, state0)
     hit = status == 1
-    fa = _interp(geom, state, field,
-                 origin + direction * (t - ss)[..., None])
-    fb = _interp(geom, state, field, origin + direction * t[..., None])
+    fa = _interp_at(geom, state, field, origin[0], origin[1], origin[2],
+                    dx, dy, dz, t - ss)
+    fb = _interp_at(geom, state, field, origin[0], origin[1], origin[2],
+                    dx, dy, dz, t)
     use_interp = hit & (fb > SURF_BOUNDARY) & (fa <= SURF_BOUNDARY)
     f_hi = jnp.where(use_interp, fb, f_tt)
     f_lo = jnp.where(use_interp, fa, f_t)
@@ -354,30 +318,33 @@ def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
     step = geom.voxel_size
     largestep = step * BLOCK_SIDE
 
-    direction = ray_directions(view, w, h)
-    origin = jnp.broadcast_to(view[:3, 3], direction.shape)
-    tnear, tfar = ray_box_range(origin, direction, geom.dim, near, far)
+    dxi, dyi, dzi = ray_directions_c(view, w, h)
+    dx, dy, dz = dxi.reshape(-1), dyi.reshape(-1), dzi.reshape(-1)
+    origin = view[:3, 3]
+    tnear, tfar = ray_box_range_c(origin, dx, dy, dz, geom.dim, near, far)
 
-    # skip phase: advance every ray to its first allocated block via the
-    # jump-distance field (the ray_iterator's job in the reference)
-    dist = jump_distance_field(geom, state)
-    t_start, found = first_allocated_t(geom, state, origin, direction,
-                                       tnear, tfar, dist=dist)
-
+    jump_flat = block_jump_map(geom, state)
     marcher = _march_tsdf if field.name == "tsdf" else _march_ofusion
-    t_hit, hit = marcher(geom, state, field, origin, direction, t_start,
+    t_hit, hit = marcher(geom, state, field, origin, dx, dy, dz, tnear,
                          tfar, mu, step, largestep, max_steps,
-                         found=found, dist=dist)
+                         jump_flat=jump_flat)
 
-    vertex = origin + direction * t_hit[..., None]
-    g = interp_mod.grad(geom, state, field,
-                        vertex * geom.inv_voxel_size, channel=0)
-    gn = jnp.linalg.norm(g, axis=-1, keepdims=True)
-    normal = g / jnp.where(gn == 0, 1.0, gn)
+    vx = origin[0] + dx * t_hit
+    vy = origin[1] + dy * t_hit
+    vz = origin[2] + dz * t_hit
+    iv = geom.inv_voxel_size
+    gx, gy, gz = interp_mod.grad_c(geom, state, field,
+                                   vx * iv, vy * iv, vz * iv, channel=0)
+    gn = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+    inv = 1.0 / jnp.where(gn == 0, 1.0, gn)
     if field.invert_normals:
-        normal = -normal
-    ok = hit & (gn[..., 0] > 0)
-    vertex = jnp.where(hit[..., None], vertex, 0.0)
-    normal = jnp.where(ok[..., None], normal,
-                       jnp.array([INVALID, 0.0, 0.0]))
-    return vertex, normal, ok
+        inv = -inv
+    ok = hit & (gn > 0)
+    nx = jnp.where(ok, gx * inv, INVALID)
+    ny = jnp.where(ok, gy * inv, 0.0)
+    nz = jnp.where(ok, gz * inv, 0.0)
+    vertex = jnp.stack([jnp.where(hit, vx, 0.0),
+                        jnp.where(hit, vy, 0.0),
+                        jnp.where(hit, vz, 0.0)], axis=-1).reshape(h, w, 3)
+    normal = jnp.stack([nx, ny, nz], axis=-1).reshape(h, w, 3)
+    return vertex, normal, ok.reshape(h, w)

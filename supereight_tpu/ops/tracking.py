@@ -45,25 +45,33 @@ def track_residuals(in_vertex, in_normal, in_valid, ref_vertex, ref_normal,
     """
     ref_h, ref_w = ref_vertex.shape[:2]
 
-    projected_vertex = se3.transform(t_track, in_vertex)        # world frame
-    projected_pos = se3.transform(view, projected_vertex)
-    pz = projected_pos[..., 2]
-    safe_z = jnp.where(pz == 0, 1.0, pz)
-    proj_px = projected_pos[..., 0] / safe_z + 0.5
-    proj_py = projected_pos[..., 1] / safe_z + 0.5
+    # component-wise throughout: [h, w] arrays, no [..., 3] stacking in
+    # the iterated path (TPU minor-dim padding, see se3.transform_c)
+    ivx, ivy, ivz = (in_vertex[..., 0], in_vertex[..., 1], in_vertex[..., 2])
+    pvx, pvy, pvz = se3.transform_c(t_track, ivx, ivy, ivz)   # world frame
+    ppx, ppy, ppz = se3.transform_c(view, pvx, pvy, pvz)
+    safe_z = jnp.where(ppz == 0, 1.0, ppz)
+    proj_px = ppx / safe_z + 0.5
+    proj_py = ppy / safe_z + 0.5
     in_frame = ((proj_px >= 0) & (proj_px <= ref_w - 1)
                 & (proj_py >= 0) & (proj_py <= ref_h - 1))
 
     rx = jnp.clip(proj_px.astype(jnp.int32), 0, ref_w - 1)
     ry = jnp.clip(proj_py.astype(jnp.int32), 0, ref_h - 1)
-    reference_normal = ref_normal[ry, rx]
-    reference_vertex = ref_vertex[ry, rx]
-    ref_ok = ref_valid[ry, rx]
+    flat = (ry * ref_w + rx).reshape(-1)
+    def pick(img, c):
+        return img[..., c].reshape(-1)[flat].reshape(rx.shape)
+    rnx, rny, rnz = pick(ref_normal, 0), pick(ref_normal, 1), \
+        pick(ref_normal, 2)
+    rvx, rvy, rvz = pick(ref_vertex, 0), pick(ref_vertex, 1), \
+        pick(ref_vertex, 2)
+    ref_ok = ref_valid.reshape(-1)[flat].reshape(rx.shape)
 
-    diff = reference_vertex - projected_vertex
-    projected_normal = se3.rotate(t_track, in_normal)
-    dist = jnp.linalg.norm(diff, axis=-1)
-    ndot = jnp.sum(projected_normal * reference_normal, axis=-1)
+    dx_, dy_, dz_ = rvx - pvx, rvy - pvy, rvz - pvz
+    inx, iny, inz = (in_normal[..., 0], in_normal[..., 1], in_normal[..., 2])
+    pnx, pny, pnz = se3.rotate_c(t_track, inx, iny, inz)
+    dist = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
+    ndot = pnx * rnx + pny * rny + pnz * rnz
 
     # rejection cascade, in reference order (-1 .. -5)
     result = jnp.full(in_vertex.shape[:2], TRACK_OK, jnp.int32)
@@ -73,12 +81,16 @@ def track_residuals(in_vertex, in_normal, in_valid, ref_vertex, ref_normal,
     result = jnp.where(~in_frame, TRACK_OUT_OF_FRAME, result)
     result = jnp.where(~in_valid, TRACK_NO_INPUT, result)
 
-    error = jnp.sum(reference_normal * diff, axis=-1)
-    j_rot = jnp.cross(projected_vertex, reference_normal)
-    jac = jnp.concatenate([reference_normal, j_rot], axis=-1)
+    error = rnx * dx_ + rny * dy_ + rnz * dz_
+    # j_rot = projected_vertex x reference_normal
+    jrx = pvy * rnz - pvz * rny
+    jry = pvz * rnx - pvx * rnz
+    jrz = pvx * rny - pvy * rnx
     ok = result == TRACK_OK
-    error = jnp.where(ok, error, 0.0)
-    jac = jnp.where(ok[..., None], jac, 0.0)
+    okf = ok.astype(jnp.float32)
+    error = error * okf
+    jac = (rnx * okf, rny * okf, rnz * okf,
+           jrx * okf, jry * okf, jrz * okf)
     return result, error, jac
 
 
@@ -92,35 +104,75 @@ def reduce_tracking(result, error, jac):
     [0]=sum err^2, [1:7]=J^T e, [7:28]=upper-tri J^T J, [28]=inliers,
     [29]=#too-far, [30]=#bad-normal, [31]=#other-rejects.
 
-    Assembled as one [H, W, 32] tensor reduced in a single pass (the
-    reference's strided 8x32 accumulator tree, tracking.cpp:66-224,
-    becomes one fused reduction over pixels / a psum across devices).
+    The reference's strided 8x32 accumulator tree (tracking.cpp:66-224)
+    is a Gram matrix in disguise: with z = [e | J] per pixel (rejected
+    pixels zeroed by track_residuals), the 28 products z_i * z_j hold
+    sum(e^2), J^T e and J^T J. Computed as 28 sibling reductions over
+    the seven [h, w] component arrays — XLA fuses them into one pass
+    (and they become a single psum across devices in the sharded
+    pipeline). ``jac`` is a 6-tuple of [h, w] components (or a stacked
+    [h, w, 6] array from external callers).
     """
-    ok = (result == TRACK_OK).astype(jnp.float32)
-    e = ok * error
-    jm = ok[..., None] * jac
-    outer = jm[..., :, None] * jac[..., None, :]
-    comps = jnp.concatenate([
-        (e * error)[..., None],
-        e[..., None] * jac,
-        outer[..., _TRIU_R, _TRIU_C],
-        ok[..., None],
-        (result == TRACK_TOO_FAR).astype(jnp.float32)[..., None],
-        (result == TRACK_BAD_NORMAL).astype(jnp.float32)[..., None],
-        ((result < 1) & (result > TRACK_TOO_FAR))
-        .astype(jnp.float32)[..., None],
-    ], axis=-1)
-    return jnp.sum(comps, axis=(0, 1))
+    if not isinstance(jac, (tuple, list)):
+        jac = tuple(jac[..., i] for i in range(6))
+    z = (error,) + tuple(jac)
+    terms = [jnp.sum(z[0] * z[0])]
+    terms += [jnp.sum(z[0] * z[1 + i]) for i in range(6)]
+    terms += [jnp.sum(z[1 + r] * z[1 + c]) for r, c in _TRIU]
+    terms += [
+        jnp.sum((result == TRACK_OK).astype(jnp.float32)),
+        jnp.sum((result == TRACK_TOO_FAR).astype(jnp.float32)),
+        jnp.sum((result == TRACK_BAD_NORMAL).astype(jnp.float32)),
+        jnp.sum(((result < 1) & (result > TRACK_TOO_FAR))
+                .astype(jnp.float32)),
+    ]
+    return jnp.stack(terms)
+
+
+# symmetric [6, 6] of positions into the 21-vector (row-major upper tri)
+_SYM_IDX = jnp.asarray(
+    [[{**{(r, c): i for i, (r, c) in enumerate(_TRIU)},
+       **{(c, r): i for i, (r, c) in enumerate(_TRIU)}}[(a, b)]
+      for b in range(6)] for a in range(6)], jnp.int32)
 
 
 def make_jtj(v21):
     """21-vector -> symmetric 6x6 (makeJTJ, tracking.cpp:42-55)."""
-    C = jnp.zeros((6, 6))
-    idx = 0
-    for r, c in _TRIU:
-        C = C.at[r, c].set(v21[idx])
-        idx += 1
-    return C + jnp.triu(C, 1).T
+    return v21[_SYM_IDX]
+
+
+def _cholesky_solve6(A, b):
+    """Unrolled 6x6 Cholesky solve.
+
+    jax.scipy's generic blocked cho_factor lowers to dozens of tiny
+    sequential kernels — several ms of launch overhead per GN step on
+    TPU. Fully unrolled over scalars it fuses into one kernel. A
+    non-SPD system yields sqrt(<0) = nan, caught by the caller's
+    finite check (the reference's LLT-failure fallback).
+    """
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = A[i, j]
+            for kk in range(j):
+                s = s - L[i][kk] * L[j][kk]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * 6
+    for i in range(6):
+        s = b[i]
+        for kk in range(i):
+            s = s - L[i][kk] * y[kk]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in range(5, -1, -1):
+        s = y[i]
+        for kk in range(i + 1, 6):
+            s = s - L[kk][i] * x[kk]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
 
 
 def solve_normal_equations(reduction):
@@ -131,8 +183,7 @@ def solve_normal_equations(reduction):
     """
     b = reduction[1:7]
     C = make_jtj(reduction[7:28])
-    L, lower = jax.scipy.linalg.cho_factor(C, lower=True)
-    x = jax.scipy.linalg.cho_solve((L, lower), b)
+    x = _cholesky_solve6(C, b)
     finite = jnp.all(jnp.isfinite(x))
     return jnp.where(finite, x, 0.0)
 
