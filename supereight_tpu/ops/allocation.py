@@ -26,17 +26,23 @@ from supereight_tpu.core import map as m
 
 
 def _pixel_rays_c(depth, pose, k):
+    return _pixel_rays_c_sub(depth, pose, k, 1)
+
+
+def _pixel_rays_c_sub(depth, pose, k, stride: int):
     """World-space surface points and ray directions toward the camera.
 
     Mirrors the shared preamble of both allocators: worldVertex =
     pose * invK * ((x+.5)d, (y+.5)d, d), direction = normalize(cam - wv).
     Component arrays out (TPU shape discipline, se3.transform_c).
+    ``stride`` > 1 means ``depth`` is a [::stride, ::stride] subsample of
+    the full frame; pixel coordinates are scaled to match.
     """
     h, w = depth.shape
     inv_k = se3.inverse_camera_matrix(k)
     kpose = jnp.matmul(pose, inv_k, precision=jax.lax.Precision.HIGHEST)
-    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
-    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(w, dtype=jnp.float32) * stride + 0.5
+    ys = jnp.arange(h, dtype=jnp.float32) * stride + 0.5
     px, py = jnp.meshgrid(xs, ys, indexing="xy")
     wvx, wvy, wvz = se3.transform_c(kpose, px * depth, py * depth, depth)
     camera = pose[:3, 3]
@@ -69,11 +75,15 @@ def tsdf_touched_mask(geom, depth, pose, k, mu: float):
     The reference samples every voxel along the band; since only the set
     of touched 8^3 *blocks* matters, sampling every 2 voxels halves the
     scatter volume while still hitting every block the ray spends >2
-    voxels in (a corner-clipped block can be picked up a frame later)."""
+    voxels in (a corner-clipped block can be picked up a frame later).
+    Pixels are likewise sampled 2x2: adjacent rays are a few mm apart at
+    range — far below the 8-voxel block size — so the touched-block set
+    is essentially unchanged, and TPU scatters cost per element."""
     b = geom.blocks_per_side
     band = 2.0 * mu
     num_steps = int(math.ceil(band * geom.inv_voxel_size / 2.0))
-    (wvx, wvy, wvz), (dx, dy, dz), _ = _pixel_rays_c(depth, pose, k)
+    depth = depth[::2, ::2]
+    (wvx, wvy, wvz), (dx, dy, dz), _ = _pixel_rays_c_sub(depth, pose, k, 2)
     ox = wvx - (band * 0.5) * dx
     oy = wvy - (band * 0.5) * dy
     oz = wvz - (band * 0.5) * dz
@@ -125,14 +135,18 @@ def ofusion_touched_masks(geom, depth, pose, k, mu: float,
     (ref buildOctantList, bfusion/alloc_impl.hpp:53-129).
 
     Returns (block_touched [B,B,B], extra_levels tuple for
-    ``refresh_mip_alloc`` with masks at levels 1 and 2).
+    ``refresh_mip_alloc`` with masks at levels 1 and 2). Pixels are
+    sampled 2x2 like the TSDF allocator (touched-octant sets are
+    insensitive to sub-block ray spacing; TPU scatters cost per element).
     """
     band = 6.0 * mu
     if max_dist is None:
         max_dist = geom.dim * math.sqrt(3.0)
     travelled, sample_levels = ofusion_step_ladder(geom, band, max_dist)
 
-    (wvx, wvy, wvz), (dx, dy, dz), camera = _pixel_rays_c(depth, pose, k)
+    depth = depth[::2, ::2]     # 2x2 pixel subsample (see tsdf_touched_mask)
+    (wvx, wvy, wvz), (dx, dy, dz), camera = _pixel_rays_c_sub(depth, pose,
+                                                              k, 2)
     ox = wvx - (band * 0.5) * dx
     oy = wvy - (band * 0.5) * dy
     oz = wvz - (band * 0.5) * dz

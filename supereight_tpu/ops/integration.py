@@ -116,12 +116,18 @@ def integrate(geom, state, field, depth, pose, k, mu, timestamp,
     cap = geom.capacity
 
     # ---- block pass -----------------------------------------------------
+    # Compacted worklist of active ∧ in-frustum blocks (ref
+    # build_active_list, projective_functor.hpp:54-71). Row-wise 2KB
+    # gathers/scatters over [budget] pool rows are nearly free (cost is
+    # per ROW — CLAUDE.md perf laws); the per-VOXEL depth fetch
+    # ([budget, 512] rows) dominates this stage, so bounding the row
+    # count with the worklist matters.
     wl = build_active_worklist(geom, state, t_cw, K, frame_size, budget)
     present = wl < cap
     slots = jnp.minimum(wl, cap - 1)
 
-    bc = state.block_coord[slots]                       # [budget, 3]
     vs = geom.voxel_size
+    bc = state.block_coord[slots]                       # [budget, 3]
     wx = (bc[:, 0:1] * BLOCK_SIDE + _LOCAL_X[None]).astype(jnp.float32) * vs
     wy = (bc[:, 1:2] * BLOCK_SIDE + _LOCAL_Y[None]).astype(jnp.float32) * vs
     wz = (bc[:, 2:3] * BLOCK_SIDE + _LOCAL_Z[None]).astype(jnp.float32) * vs

@@ -5,21 +5,25 @@ driving the field-specific marchers kfusion/rendering_impl.hpp:34-74
 (TSDF sphere tracing with unknown-space skipping) and
 bfusion/rendering_impl.hpp:35-68 (occupancy constant-step march).
 
-TPU design: every pixel marches in lockstep inside one
-``lax.while_loop`` over whole-image state tensors; finished rays mask
-out. The reference's hierarchical ray iterator
-(se_core/include/se/ray_iterator.hpp) exists purely to skip free space
-to the first allocated block; here that skipping is folded INTO the
-march via a per-block jump map: a single i32 grid holding *slot id* for
-allocated blocks and *-(1 + chebyshev block distance to the nearest
-allocated block)* for empty ones, so one gather per step yields both
-the field sample and the safe empty-space jump. Ray/map-AABB clipping
-replicates the commented KinectFusion preamble
-(kfusion/rendering_impl.hpp:76-104) that the ray iterator subsumes.
+TPU design (see CLAUDE.md "TPU perf laws": gathers/scatters cost ~7 ns
+per ROW regardless of row width, so the design minimizes row count):
 
-Shape discipline (the actual TPU perf story): all per-ray state is a
-flat [N] f32/i32 tensor — never [..., 3]-stacked, never a small minor
-dim — and every fetch is one flat 1-D gather. See se3.transform_c.
+* A dense **march mirror** [B^3, 512] f32 is built per raycast with one
+  block-row gather (262k rows x 2KB ~ 2 ms): allocated blocks carry
+  their voxel values (weight-0 voxels -> UNKNOWN sentinel), unallocated
+  cells carry ``SENT + chebyshev-block-distance`` so a single fetch
+  yields both the field sample and the safe empty-space jump. This
+  replaces both the reference's octree ray iterator
+  (ray_iterator.hpp:116-226) and per-sample ``fetch``: every march step
+  is ONE flat gather with pure-VPU decoding.
+* Rays march in lockstep, fully unrolled on TPU (rolled on CPU —
+  utils/loops.bounded_steps), in a compaction cascade: a short
+  full-image pass, then unfinished rays compact into geometrically
+  smaller batches for longer budgets. Lockstep costs rows-per-step, so
+  narrowing the live set is what early exit becomes on a VPU.
+* Trilinear refinement + gradients also read the mirror (the sentinel
+  decodes to the field's init/empty fill arithmetically), removing all
+  slot-lookup gathers from the per-pixel path.
 """
 
 import functools
@@ -32,6 +36,9 @@ from supereight_tpu.constants import (BLOCK_SIDE, FAR_PLANE, INVALID,
                                       NEAR_PLANE, SURF_BOUNDARY)
 from supereight_tpu.core import interp as interp_mod
 from supereight_tpu.core import se3
+from supereight_tpu.utils.loops import bounded_steps
+
+MAX_JUMP = 6   # cap of the chebyshev block-distance transform
 
 
 def ray_directions_c(view, width, height):
@@ -69,43 +76,58 @@ def ray_box_range_c(origin, dx, dy, dz, dim, near=NEAR_PLANE, far=FAR_PLANE):
     return jnp.maximum(tmin, near), jnp.minimum(tmax, far)
 
 
-def block_jump_map(geom, state, max_jump: int = 6):
-    """Flat i32[B^3]: pool slot if allocated, else -(1 + chebyshev block
-    distance to the nearest allocated block, capped at ``max_jump``).
+def _sentinel(field):
+    """Unknown-space sentinel base; values >= base/2 decode as unknown.
 
-    The distance comes from ``max_jump - 1`` dense 3^3 min-dilations of
-    the allocation mask — a few VPU passes over the [B^3] grid,
-    negligible next to the march. This replaces the reference ray
-    iterator's octree descent (ray_iterator.hpp:116-226): instead of
-    walking a tree to skip empty space, every ray reads how far it may
-    safely jump from the same word that addresses the field sample.
+    TSDF x is clamped to [-1, 1] (volume_traits.hpp:41-51) -> base 2.
+    OFusion log-odds are clamped to +-1000 (volume_traits.hpp:74-81)
+    -> base 4096.
     """
-    occupied = state.slot >= 0
+    return 2.0 if field.name == "tsdf" else 4096.0
+
+
+def block_distance(geom, state, max_jump: int = MAX_JUMP):
+    """Chebyshev distance (blocks, capped) to the nearest allocated block:
+    ``max_jump - 1`` dense 3^3 min-dilations of the allocation mask."""
+    occupied = (state.slot >= 0)
     d = jnp.where(occupied, 0, max_jump).astype(jnp.float32)
     for _ in range(max_jump - 1):
         neigh = -jax.lax.reduce_window(
             -d, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
         d = jnp.minimum(d, neigh + 1.0)
-    jump = jnp.where(occupied, state.slot, -(1 + d.astype(jnp.int32)))
-    return jump.reshape(-1)
+    return d
 
 
-def _march_field(state):
-    """Flat marching field: voxel value with +inf marking unknown space.
+def build_march_mirror(geom, state, field):
+    """Dense [B^3 * 512] f32 marching field (see module docstring).
 
-    One flat array so each marching step costs ONE gather; the unknown
-    test (reference: data.y == 0 -> large step) and the value test ride
-    the same fetch (get_fine's init {x:1, y:0} classification)."""
-    return jnp.where(state.data_y == 0, jnp.inf, state.data_x).reshape(-1)
-
-
-def _sample(geom, jump_flat, march_flat, px, py, pz):
-    """One marching probe at metric position components.
-
-    Returns (value, known, jump_dist_blocks): a single pair of flat
-    gathers — block word (slot | -(1+dist)) then voxel value.
+    Encoding: value v with v < SENT/2 -> known voxel sample; otherwise
+    v - SENT = chebyshev block distance to the nearest allocated block
+    (0 for weight-0 voxels inside allocated blocks).
     """
-    size, b = geom.size, geom.blocks_per_side
+    sent = _sentinel(field)
+    march_pool = jnp.where(state.data_y == 0, sent, state.data_x)
+    slot_flat = state.slot.reshape(-1)
+    rows = march_pool[jnp.maximum(slot_flat, 0)]         # [B^3, 512] gather
+    d = block_distance(geom, state).reshape(-1)
+    empty_rows = (sent + d)[:, None]
+    mirror = jnp.where((slot_flat >= 0)[:, None], rows, empty_rows)
+    return mirror.reshape(-1)
+
+
+def _mirror_fetch(geom, mirror, vx, vy, vz):
+    """Raw mirror fetch at clipped integer voxel coords: one flat gather."""
+    b = geom.blocks_per_side
+    cell = ((vx >> 3) * b + (vy >> 3)) * b + (vz >> 3)
+    lin = (vx & 7) + ((vy & 7) << 3) + ((vz & 7) << 6)
+    return mirror[cell * 512 + lin]
+
+
+def _sample(geom, mirror, sent, px, py, pz):
+    """One marching probe at metric positions: gather + VPU decode.
+
+    Returns (value, known, jump_dist_blocks)."""
+    size = geom.size
     vx = (px * geom.inv_voxel_size).astype(jnp.int32)
     vy = (py * geom.inv_voxel_size).astype(jnp.int32)
     vz = (pz * geom.inv_voxel_size).astype(jnp.int32)
@@ -114,108 +136,207 @@ def _sample(geom, jump_flat, march_flat, px, py, pz):
     vx = jnp.clip(vx, 0, size - 1)
     vy = jnp.clip(vy, 0, size - 1)
     vz = jnp.clip(vz, 0, size - 1)
-    mt = jump_flat[((vx >> 3) * b + (vy >> 3)) * b + (vz >> 3)]
-    lin = (vx & 7) + ((vy & 7) << 3) + ((vz & 7) << 6)
-    mx = march_flat[jnp.maximum(mt, 0) * 512 + lin]
-    known = (mt >= 0) & inb & ~jnp.isinf(mx)
-    dist = jnp.where(mt < 0, (-1 - mt).astype(jnp.float32), 0.0)
-    return mx, known, dist
+    s = _mirror_fetch(geom, mirror, vx, vy, vz)
+    known = (s < 0.5 * sent) & inb
+    dist = jnp.where(known, 0.0, jnp.maximum(s - sent, 0.0))
+    dist = jnp.where(inb, dist, MAX_JUMP)
+    return s, known, dist
 
 
-def _interp_at(geom, state, field, ox, oy, oz, dx, dy, dz, t):
-    v = geom.inv_voxel_size
-    return interp_mod.interp_c(geom, state, field,
-                               (ox + dx * t) * v, (oy + dy * t) * v,
-                               (oz + dz * t) * v, channel=0)
+def _interp_mirror(geom, mirror, sent, fill, px, py, pz):
+    """Trilinear interpolation from the mirror at continuous VOXEL coords.
+
+    Sentinel values decode to ``fill`` (the field's empty/init x — they
+    coincide for both field types: TSDF 1.0, OFusion 0.0). Matches
+    Octree::interp semantics (octree.hpp:542-563) with O(1) addressing.
+    """
+    bx = jnp.floor(px)
+    by = jnp.floor(py)
+    bz = jnp.floor(pz)
+    fx, fy, fz = px - bx, py - by, pz - bz
+    size = geom.size
+    ix = jnp.maximum(bx.astype(jnp.int32), 0)
+    iy = jnp.maximum(by.astype(jnp.int32), 0)
+    iz = jnp.maximum(bz.astype(jnp.int32), 0)
+
+    off = jnp.asarray(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
+         [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1]], jnp.int32)
+    sh = (8,) + (1,) * ix.ndim
+    cx = ix[None] + off[:, 0].reshape(sh)
+    cy = iy[None] + off[:, 1].reshape(sh)
+    cz = iz[None] + off[:, 2].reshape(sh)
+    inb = (cx < size) & (cy < size) & (cz < size)   # lower already >= 0
+    s = _mirror_fetch(geom, mirror, jnp.minimum(cx, size - 1),
+                      jnp.minimum(cy, size - 1), jnp.minimum(cz, size - 1))
+    p = jnp.where((s < 0.5 * sent) & inb, s, fill)
+    c00 = p[0] * (1 - fx) + p[1] * fx
+    c10 = p[2] * (1 - fx) + p[3] * fx
+    c01 = p[4] * (1 - fx) + p[5] * fx
+    c11 = p[6] * (1 - fx) + p[7] * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
 
 
-def _compact_stragglers(shape_n, budget, unfinished):
-    """Fixed-budget worklist of unfinished ray indices (two-pass
-    divergence handling: lockstep marching pays the slowest ray per
-    iteration, so the few long rays finish in a small dense batch)."""
-    order = jnp.cumsum(unfinished.astype(jnp.int32)) - 1
-    dest = jnp.where(unfinished & (order < budget), order, budget)
+# grad stencil enumeration shared with core/interp.py
+_G_IX = interp_mod._GRAD_IX
+_G_IY = interp_mod._GRAD_IY
+_G_IZ = interp_mod._GRAD_IZ
+_G_ID = interp_mod._GRAD_ID
+
+
+def _grad_mirror(geom, mirror, sent, fill, px, py, pz):
+    """Field gradient from the mirror (Octree::grad, octree.hpp:652-737).
+
+    Unknown/unallocated samples decode to ``fill`` (init x — equals the
+    stored value of never-updated voxels for both field types). Returns
+    (gx, gy, gz) scaled by 0.5 * voxel_size.
+    """
+    size = geom.size
+
+    def ladder(b):
+        return jnp.stack([jnp.maximum(b - 1, 0),
+                          jnp.maximum(b, 0),
+                          jnp.minimum(b + 1, size - 1),
+                          jnp.minimum(b + 2, size - 1)])
+
+    bx = jnp.floor(px)
+    by = jnp.floor(py)
+    bz = jnp.floor(pz)
+    fx, fy, fz = px - bx, py - by, pz - bz
+    lx = ladder(bx.astype(jnp.int32))
+    ly = ladder(by.astype(jnp.int32))
+    lz = ladder(bz.astype(jnp.int32))
+
+    s = _mirror_fetch(geom, mirror, lx[_G_IX], ly[_G_IY], lz[_G_IZ])
+    vals = jnp.where(s < 0.5 * sent, s, fill)
+
+    def p(i, j, kk):
+        return vals[_G_ID[(i, j, kk)]]
+
+    def dx(jy, kz):
+        return ((p(2, jy, kz) - p(0, jy, kz)) * (1 - fx)
+                + (p(3, jy, kz) - p(1, jy, kz)) * fx)
+
+    gx = ((dx(1, 1) * (1 - fy) + dx(2, 1) * fy) * (1 - fz)
+          + (dx(1, 2) * (1 - fy) + dx(2, 2) * fy) * fz)
+
+    def dy(ix, kz):
+        return ((p(ix, 2, kz) - p(ix, 0, kz)) * (1 - fy)
+                + (p(ix, 3, kz) - p(ix, 1, kz)) * fy)
+
+    gy = ((dy(1, 1) * (1 - fx) + dy(2, 1) * fx) * (1 - fz)
+          + (dy(1, 2) * (1 - fx) + dy(2, 2) * fx) * fz)
+
+    def dz(ix, jy):
+        return ((p(ix, jy, 2) - p(ix, jy, 0)) * (1 - fz)
+                + (p(ix, jy, 3) - p(ix, jy, 1)) * fz)
+
+    gz = ((dz(1, 1) * (1 - fx) + dz(2, 1) * fx) * (1 - fy)
+          + (dz(1, 2) * (1 - fx) + dz(2, 2) * fx) * fy)
+
+    sc = 0.5 * geom.voxel_size
+    return gx * sc, gy * sc, gz * sc
+
+
+def _compact(n, budget, mask):
+    """Fixed-budget worklist of ray indices where mask is set."""
+    order = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask & (order < budget), order, budget)
     wl = jnp.full((budget,), -1, jnp.int32).at[dest].set(
-        jnp.arange(shape_n, dtype=jnp.int32), mode="drop")
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
     return wl
 
 
-def _march_tsdf(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
-                step, largestep, max_steps, jump_flat=None):
-    """TSDF sphere tracing (behavior of kfusion/rendering_impl.hpp:34-74).
+# compaction cascade: (steps, live-fraction budget) per stage. Stage 0
+# runs on all rays; later stages on geometrically fewer stragglers, so
+# total gather rows stay ~2x the first stage while long grazing rays
+# still get hundreds of steps (the reference's per-ray loop shape).
+_CASCADE = ((24, 1.0), (32, 0.25), (64, 0.0625), (192, 0.015625))
 
-    Marching decisions use the voxel-sampled field (one gather/step); the
-    reference switches to trilinear values inside [-0.5, 0.1] while
-    marching, which we defer to the final refinement: once the crossing
-    is bracketed, both bracket ends are re-evaluated with trilinear
-    interpolation and the zero crossing solved linearly — same sub-voxel
-    accuracy, an order of magnitude less gather traffic.
 
-    Unknown space (unallocated blocks or weight-0 voxels) takes
-    jump-map-sized steps (the reference's ray-iterator skip + its
-    largestep rule); known space sphere-traces on mu-scaled values.
+def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
+           step, largestep, max_steps, mirror=None):
+    """Lockstep field march, TSDF sphere tracing or occupancy stepping.
+
+    TSDF behavior of kfusion/rendering_impl.hpp:34-74 (marching on
+    voxel samples; the reference's in-band interp switch is deferred to
+    the bracket refinement in :func:`raycast` — same sub-voxel result,
+    an order of magnitude fewer gather rows). OFusion behavior of
+    bfusion/rendering_impl.hpp:35-68 (constant step in known space).
     """
     n = tnear.shape[0]
-    march_flat = _march_field(state)
-    if jump_flat is None:
-        jump_flat = block_jump_map(geom, state)
+    sent = _sentinel(field)
+    is_tsdf = field.name == "tsdf"
+    if mirror is None:
+        mirror = build_march_mirror(geom, state, field)
     bstep = BLOCK_SIDE * geom.voxel_size
+    fill = 1.0 if is_tsdf else 0.0
 
-    f_t0 = _interp_at(geom, state, field, origin[0], origin[1], origin[2],
-                      dx, dy, dz, tnear)
-    # status: 0 = marching, 1 = hit, 2 = done/no-hit
-    go = (tnear < tfar) & (f_t0 > 0)
+    f_t0 = _interp_mirror(geom, mirror, sent, fill,
+                          (origin[0] + dx * tnear) * geom.inv_voxel_size,
+                          (origin[1] + dy * tnear) * geom.inv_voxel_size,
+                          (origin[2] + dz * tnear) * geom.inv_voxel_size)
+    go = (tnear < tfar) & ((f_t0 > 0) if is_tsdf
+                           else (f_t0 <= SURF_BOUNDARY))
     status0 = jnp.where(go, 0, 2).astype(jnp.int32)
 
-    def body(dxx, dyy, dzz, tff):
-        def fn(carry):
-            t, ss, f_t, f_tt, status, it = carry
+    def stage(carry, dxx, dyy, dzz, tff, steps):
+        def one(c):
+            t, ss, f_t, f_tt, status = c
             mx, known, dist = _sample(
-                geom, jump_flat, march_flat,
+                geom, mirror, sent,
                 origin[0] + dxx * t, origin[1] + dyy * t,
                 origin[2] + dzz * t)
             active = status == 0
-
-            hit = active & known & (mx < 0)
-            new_f_tt = jnp.where(active & known, mx, f_tt)
-            new_f_t = jnp.where(active & known & ~hit, mx, f_t)
-            # on a hit the reference breaks *before* refreshing stepsize —
-            # the refinement uses the step that reached the crossing
+            crossed = (mx < 0) if is_tsdf else (mx > SURF_BOUNDARY)
+            hit = active & known & crossed
+            if is_tsdf:
+                f_tt = jnp.where(active & known, mx, f_tt)
+                f_t = jnp.where(active & known & ~hit, mx, f_t)
+                known_step = jnp.maximum(f_tt * mu, step)
+            else:
+                f_tt = jnp.where(active & known, mx, f_tt)
+                f_t = jnp.where(active & ~hit, f_tt, f_t)
+                known_step = step
             jump = jnp.maximum(largestep,
                                jnp.maximum(dist - 1, 0.0) * bstep
                                + 0.5 * largestep)
-            new_ss = jnp.where(known, jnp.maximum(new_f_tt * mu, step), jump)
-            new_ss = jnp.where(active & ~hit, new_ss, ss)
-            new_t = jnp.where(active & ~hit, t + new_ss, t)
-            new_status = jnp.where(hit, 1, status)
-            new_status = jnp.where(active & ~hit & (new_t >= tff), 2,
-                                   new_status)
-            return (new_t, new_ss, new_f_t, new_f_tt, new_status, it + 1)
-        return fn
+            new_ss = jnp.where(known, known_step, jump)
+            adv = active & ~hit
+            ss = jnp.where(adv, new_ss, ss)
+            t = jnp.where(adv, t + ss, t)
+            status = jnp.where(hit, 1, status)
+            status = jnp.where(adv & (t >= tff), 2, status)
+            return t, ss, f_t, f_tt, status
 
-    def run(carry, dxx, dyy, dzz, tff, steps):
-        def cond(c):
-            return jnp.any(c[4] == 0) & (c[5] < steps)
-        return jax.lax.while_loop(cond, body(dxx, dyy, dzz, tff), carry)
+        return bounded_steps(one, carry, steps,
+                             lambda c: jnp.any(c[4] == 0))
 
-    pass1_steps = min(96, max_steps)
-    carry = (tnear + 0.0,                          # t
-             jnp.full((n,), largestep),            # stepsize
-             jnp.full((n,), jnp.inf),              # f_t (last known sample)
-             jnp.zeros((n,)), status0, jnp.int32(0))
-    t, ss, f_t, f_tt, status, _ = run(carry, dx, dy, dz, tfar, pass1_steps)
+    t = tnear + 0.0
+    ss = jnp.full((n,), largestep if is_tsdf else step)
+    f_t = jnp.full((n,), jnp.inf) if is_tsdf else jnp.zeros((n,))
+    f_tt = jnp.zeros((n,))
+    status = status0
 
-    if max_steps > pass1_steps:
-        budget = max(1024, n // 16)
-        wl = _compact_stragglers(n, budget, (status == 0))
+    first_steps, _ = _CASCADE[0]
+    t, ss, f_t, f_tt, status = stage((t, ss, f_t, f_tt, status),
+                                     dx, dy, dz, tfar,
+                                     min(first_steps, max_steps))
+    done_budget = first_steps
+    for steps, frac in _CASCADE[1:]:
+        if done_budget >= max_steps:
+            break
+        budget = max(1024, int(n * frac))
+        wl = _compact(n, budget, status == 0)
         wlc = jnp.maximum(wl, 0)
-
         sub_status = jnp.where(wl >= 0, 0, 2).astype(jnp.int32)
-        sub = (t[wlc], ss[wlc], f_t[wlc], f_tt[wlc], sub_status,
-               jnp.int32(0))
-        s_t, s_ss, s_ft, s_ftt, s_status, _ = run(
+        sub = (t[wlc], ss[wlc], f_t[wlc], f_tt[wlc], sub_status)
+        s_t, s_ss, s_ft, s_ftt, s_status = stage(
             sub, dx[wlc], dy[wlc], dz[wlc], tfar[wlc],
-            max_steps - pass1_steps)
+            min(steps, max_steps - done_budget))
+        done_budget += steps
 
         def put(full, vals):
             return full.at[jnp.where(wl >= 0, wl, n)].set(vals, mode="drop")
@@ -225,81 +346,31 @@ def _march_tsdf(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
         f_t = put(f_t, s_ft)
         f_tt = put(f_tt, s_ftt)
         status = put(status, s_status)
-        # overflowed stragglers (beyond the budget) stay status 0 -> miss
+    # rays still marching after the cascade (beyond-budget overflow) miss
 
     hit = status == 1
-    # trilinear refinement at the bracket ends (the accuracy the
-    # reference gets from its in-window interp switch)
-    fa = _interp_at(geom, state, field, origin[0], origin[1], origin[2],
-                    dx, dy, dz, t - ss)
-    fb = _interp_at(geom, state, field, origin[0], origin[1], origin[2],
-                    dx, dy, dz, t)
-    use_interp = hit & (fb < 0) & (fa >= 0)
-    f_hi = jnp.where(use_interp, fa, jnp.where(jnp.isinf(f_t), 1.0, f_t))
-    f_lo = jnp.where(use_interp, fb, f_tt)
-    denom = jnp.where(f_hi == f_lo, 1.0, f_hi - f_lo)
-    t_hit = t + ss * f_lo / denom
-    return jnp.where(hit, t_hit, 0.0), hit
+    iv = geom.inv_voxel_size
 
+    def at(tv):
+        return ((origin[0] + dx * tv) * iv, (origin[1] + dy * tv) * iv,
+                (origin[2] + dz * tv) * iv)
 
-def _march_ofusion(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
-                   step, largestep, max_steps, jump_flat=None):
-    """Occupancy marching (behavior of bfusion/rendering_impl.hpp:35-68).
-
-    Constant voxel step inside allocated blocks; unallocated blocks hold
-    no observed voxels, so they are crossed at jump-map-sized steps (the
-    reference samples them anyway and learns nothing — skipping them
-    cannot change which observed samples are seen). Crossing detection on
-    voxel samples, trilinear refinement at the bracket."""
-    n = tnear.shape[0]
-    march_flat = _march_field(state)
-    if jump_flat is None:
-        jump_flat = block_jump_map(geom, state)
-    bstep = BLOCK_SIDE * geom.voxel_size
-
-    f_00 = _interp_at(geom, state, field, origin[0], origin[1], origin[2],
-                      dx, dy, dz, tnear)
-    go = (tnear < tfar) & (f_00 <= SURF_BOUNDARY)
-    status0 = jnp.where(go, 0, 2).astype(jnp.int32)
-
-    state0 = (tnear + 0.0, jnp.full((n,), step),
-              jnp.zeros((n,)), jnp.zeros((n,)), status0, jnp.int32(0))
-
-    def cond(carry):
-        return jnp.any(carry[4] == 0) & (carry[5] < max_steps)
-
-    def body(carry):
-        t, ss, f_t, f_tt, status, it = carry
-        mx, known, dist = _sample(
-            geom, jump_flat, march_flat,
-            origin[0] + dx * t, origin[1] + dy * t, origin[2] + dz * t)
-        active = status == 0
-        hit = active & known & (mx > SURF_BOUNDARY)
-        new_f_tt = jnp.where(active & known, mx, f_tt)
-        new_f_t = jnp.where(active & ~hit, new_f_tt, f_t)
-        jump = jnp.maximum(largestep,
-                           jnp.maximum(dist - 1, 0.0) * bstep
-                           + 0.5 * largestep)
-        new_ss = jnp.where(known, step, jump)
-        new_ss = jnp.where(active & ~hit, new_ss, ss)
-        new_t = jnp.where(active & ~hit, t + new_ss, t)
-        new_status = jnp.where(hit, 1, status)
-        new_status = jnp.where(active & ~hit & (new_t >= tfar), 2,
-                               new_status)
-        return (new_t, new_ss, new_f_t, new_f_tt, new_status, it + 1)
-
-    t, ss, f_t, f_tt, status, _ = jax.lax.while_loop(cond, body, state0)
-    hit = status == 1
-    fa = _interp_at(geom, state, field, origin[0], origin[1], origin[2],
-                    dx, dy, dz, t - ss)
-    fb = _interp_at(geom, state, field, origin[0], origin[1], origin[2],
-                    dx, dy, dz, t)
-    use_interp = hit & (fb > SURF_BOUNDARY) & (fa <= SURF_BOUNDARY)
-    f_hi = jnp.where(use_interp, fb, f_tt)
-    f_lo = jnp.where(use_interp, fa, f_t)
-    denom = jnp.where(f_hi == f_lo, 1.0, f_hi - f_lo)
-    t_hit = t - ss * (f_hi - SURF_BOUNDARY) / denom
-    return jnp.where(hit, t_hit, 0.0), hit
+    fa = _interp_mirror(geom, mirror, sent, fill, *at(t - ss))
+    fb = _interp_mirror(geom, mirror, sent, fill, *at(t))
+    if is_tsdf:
+        use_interp = hit & (fb < 0) & (fa >= 0)
+        f_hi = jnp.where(use_interp, fa,
+                         jnp.where(jnp.isinf(f_t), 1.0, f_t))
+        f_lo = jnp.where(use_interp, fb, f_tt)
+        denom = jnp.where(f_hi == f_lo, 1.0, f_hi - f_lo)
+        t_hit = t + ss * f_lo / denom
+    else:
+        use_interp = hit & (fb > SURF_BOUNDARY) & (fa <= SURF_BOUNDARY)
+        f_hi = jnp.where(use_interp, fb, f_tt)
+        f_lo = jnp.where(use_interp, fa, f_t)
+        denom = jnp.where(f_hi == f_lo, 1.0, f_hi - f_lo)
+        t_hit = t - ss * (f_hi - SURF_BOUNDARY) / denom
+    return jnp.where(hit, t_hit, 0.0), hit, mirror
 
 
 @functools.partial(jax.jit, static_argnames=("geom", "field", "frame_size",
@@ -323,18 +394,18 @@ def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
     origin = view[:3, 3]
     tnear, tfar = ray_box_range_c(origin, dx, dy, dz, geom.dim, near, far)
 
-    jump_flat = block_jump_map(geom, state)
-    marcher = _march_tsdf if field.name == "tsdf" else _march_ofusion
-    t_hit, hit = marcher(geom, state, field, origin, dx, dy, dz, tnear,
-                         tfar, mu, step, largestep, max_steps,
-                         jump_flat=jump_flat)
+    t_hit, hit, mirror = _march(geom, state, field, origin, dx, dy, dz,
+                                tnear, tfar, mu, step, largestep,
+                                max_steps)
 
     vx = origin[0] + dx * t_hit
     vy = origin[1] + dy * t_hit
     vz = origin[2] + dz * t_hit
     iv = geom.inv_voxel_size
-    gx, gy, gz = interp_mod.grad_c(geom, state, field,
-                                   vx * iv, vy * iv, vz * iv, channel=0)
+    sent = _sentinel(field)
+    fill = 1.0 if field.name == "tsdf" else 0.0
+    gx, gy, gz = _grad_mirror(geom, mirror, sent, fill,
+                              vx * iv, vy * iv, vz * iv)
     gn = jnp.sqrt(gx * gx + gy * gy + gz * gz)
     inv = 1.0 / jnp.where(gn == 0, 1.0, gn)
     if field.invert_normals:

@@ -25,6 +25,7 @@ from supereight_tpu.constants import (DIST_THRESHOLD, INVALID,
                                       TRACK_OK, TRACK_OUT_OF_FRAME,
                                       TRACK_TOO_FAR, TRACK_THRESHOLD)
 from supereight_tpu.core import se3
+from supereight_tpu.utils.loops import bounded_steps
 
 # Upper-triangle index pairs of the 6x6 JtJ, row-major — the layout
 # makeJTJ (tracking.cpp:42-55) expects in the 21-vector.
@@ -228,25 +229,31 @@ def track(pose, raycast_pose, k_full, pyr_vertex, pyr_normal, pyr_valid,
     reduction = jnp.zeros((32,))
     result_fine = jnp.zeros(pyr_vertex[0].shape[:2], jnp.int32)
 
+    # The GN iterations run as fixed trip counts with a `done` flag
+    # freezing converged state (bounded_steps: unrolled on TPU where
+    # in-loop gathers cost ~100x, rolled+early-exit on CPU). Freezing on
+    # `done` reproduces the reference's per-level early break exactly:
+    # once ||x|| < threshold, pose/reduction/result stop changing.
     for level in range(len(iterations) - 1, -1, -1):
         iv, inorm, ival = pyr_vertex[level], pyr_normal[level], pyr_valid[level]
 
-        def body(carry):
-            pose, reduction, result, i, done = carry
+        def one(c, iv=iv, inorm=inorm, ival=ival):
+            pose, reduction, result, done = c
             res, err, jac = track_residuals(iv, inorm, ival, ref_vertex,
-                                            ref_normal, ref_valid, pose, view)
+                                            ref_normal, ref_valid, pose,
+                                            view)
             red = reduce_tracking(res, err, jac)
             new_pose, converged = update_pose(pose, red, icp_threshold)
-            return (new_pose, red, res, i + 1, converged)
-
-        def cond(carry):
-            _, _, _, i, done = carry
-            return (i < iterations[level]) & ~done
+            pose = jnp.where(done, pose, new_pose)
+            reduction = jnp.where(done, reduction, red)
+            result = jnp.where(done, result, res)
+            return (pose, reduction, result, done | converged)
 
         result0 = jnp.zeros(iv.shape[:2], jnp.int32)
-        pose, reduction, result, _, _ = jax.lax.while_loop(
-            cond, body, (pose, reduction, result0, jnp.int32(0),
-                         jnp.bool_(False)))
+        pose, reduction, result, _ = bounded_steps(
+            one, (pose, reduction, result0, jnp.bool_(False)),
+            iterations[level], lambda c: ~c[3])
+
         if level == 0:
             result_fine = result
 

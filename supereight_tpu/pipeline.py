@@ -129,7 +129,9 @@ class DenseSLAMSystem:
         jit shapes are static, so the worklist budget is rounded up to a
         power of two covering all allocated blocks (one recompile per
         doubling — a handful over a run) instead of paying the worst-case
-        budget every frame."""
+        budget every frame. Integration cost is dominated by the
+        per-voxel depth gather ([budget, 512] rows), so this bound is
+        the stage's cost knob."""
         n = max(int(self.map.n_blocks), 1)
         bucket = 1024
         while bucket < n:

@@ -1,0 +1,43 @@
+"""Backend-adaptive bounded loops for gather-bearing marching bodies.
+
+On TPU, a gather inside a rolled ``lax.while_loop``/``fori_loop`` body
+falls off XLA's fast bulk-gather path and costs ~100x more than the same
+gather in straight-line code (measured ~4 ms vs ~5 us for a 307k-element
+fetch — tools/bench_loop2.py). The hot iterative kernels (raycast march,
+ICP Gauss-Newton) therefore UNROLL their fixed step budgets on TPU, with
+per-lane masks standing in for early exit.
+
+On CPU the trade inverts: gathers in rolled loops are fine, while
+compiling hundreds of unrolled gather steps takes minutes. Tests and the
+virtual-device sharding path run on CPU, so there the same body runs in
+a rolled ``while_loop`` with a global early-exit condition.
+
+Both forms compute identical results: the unrolled form executes extra
+no-op (fully masked) steps that the rolled form skips.
+"""
+
+import jax
+from jax import lax
+
+
+def bounded_steps(body, carry, steps: int, still_active):
+    """Apply ``body`` up to ``steps`` times.
+
+    body: carry -> carry, must be a fixed-point once ``still_active``
+        is False (all lanes masked done).
+    still_active: carry -> bool scalar, True while any lane needs work.
+    """
+    if jax.default_backend() == "cpu":
+        def cond(c):
+            i, cc = c
+            return (i < steps) & still_active(cc)
+
+        def b(c):
+            i, cc = c
+            return (i + 1, body(cc))
+
+        return lax.while_loop(cond, b, (0, carry))[1]
+
+    for _ in range(steps):
+        carry = body(carry)
+    return carry

@@ -114,33 +114,34 @@ def main():
     origin = view[:3, 3]
     tnear, tfar = raycast.ray_box_range_c(origin, dx, dy, dz, geom.dim)
 
-    jd = jax.jit(functools.partial(raycast.block_jump_map, geom))
-    t_jd = timeit(jd, state.map)
-    print(f"  block jump map     {t_jd*1e3:8.2f} ms")
-    jump = jd(state.map)
+    mb = jax.jit(functools.partial(raycast.build_march_mirror, geom,
+                                   field=field))
+    t_mb = timeit(mb, state.map)
+    print(f"  mirror build       {t_mb*1e3:8.2f} ms")
+    mirror = mb(state.map)
 
     mar = jax.jit(functools.partial(
-        raycast._march_tsdf, geom, field=field, mu=0.1,
+        raycast._march, geom, field=field, mu=0.1,
         step=geom.voxel_size, largestep=geom.voxel_size * BLOCK_SIDE,
         max_steps=2 * geom.size))
     t_mar = timeit(mar, state.map, origin=origin, dx=dx, dy=dy, dz=dz,
-                   tnear=tnear, tfar=tfar, jump_flat=jump)
+                   tnear=tnear, tfar=tfar, mirror=mirror)
     print(f"  march (tsdf)       {t_mar*1e3:8.2f} ms")
 
-    t_hit, hitm = mar(state.map, origin=origin, dx=dx, dy=dy, dz=dz,
-                      tnear=tnear, tfar=tfar, jump_flat=jump)
-    from supereight_tpu.core import interp as interp_mod
+    t_hit, hitm, _ = mar(state.map, origin=origin, dx=dx, dy=dy, dz=dz,
+                         tnear=tnear, tfar=tfar, mirror=mirror)
     iv = geom.inv_voxel_size
     hx, hy, hz = (origin[0] + dx * t_hit) * iv, \
         (origin[1] + dy * t_hit) * iv, (origin[2] + dz * t_hit) * iv
-    gr = jax.jit(functools.partial(interp_mod.grad_c, geom, field=field,
-                                   channel=0))
-    t_gr = timeit(gr, state.map, px=hx, py=hy, pz=hz)
+    sent = raycast._sentinel(field)
+    gr = jax.jit(functools.partial(raycast._grad_mirror, geom, sent=sent,
+                                   fill=1.0))
+    t_gr = timeit(gr, mirror, px=hx, py=hy, pz=hz)
     print(f"  grad (normals)     {t_gr*1e3:8.2f} ms")
 
-    ip = jax.jit(functools.partial(interp_mod.interp_c, geom, field=field,
-                                   channel=0))
-    t_ip = timeit(ip, state.map, px=hx, py=hy, pz=hz)
+    ip = jax.jit(functools.partial(raycast._interp_mirror, geom, sent=sent,
+                                   fill=1.0))
+    t_ip = timeit(ip, mirror, px=hx, py=hy, pz=hz)
     print(f"  interp x1          {t_ip*1e3:8.2f} ms")
 
     # ---- tracking sub-breakdown ---------------------------------------
