@@ -36,7 +36,7 @@ from supereight_tpu.constants import (BLOCK_SIDE, FAR_PLANE, INVALID,
                                       NEAR_PLANE, SURF_BOUNDARY)
 from supereight_tpu.core import interp as interp_mod
 from supereight_tpu.core import se3
-from supereight_tpu.utils.loops import bounded_steps
+from supereight_tpu.utils.loops import bounded_steps, chunked_steps
 
 MAX_JUMP = 6   # cap of the chebyshev block-distance transform
 
@@ -253,11 +253,14 @@ def _compact(n, budget, mask):
 # runs on all rays; later stages on geometrically fewer stragglers, so
 # total gather rows stay ~2x the first stage while long grazing rays
 # still get hundreds of steps (the reference's per-ray loop shape).
-_CASCADE = ((24, 1.0), (32, 0.25), (64, 0.0625), (192, 0.015625))
+# The tail runs as cond-skipped chunks inside a rolled loop (cheap to
+# compile, early-exits at chunk granularity).
+_CASCADE = ((16, 1.0), (48, 0.25))
+_TAIL_CHUNKS, _TAIL_CHUNK, _TAIL_FRAC = 32, 8, 0.0625
 
 
 def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
-           step, largestep, max_steps, mirror=None):
+           step, largestep, max_steps, mirror=None, prime_t=None):
     """Lockstep field march, TSDF sphere tracing or occupancy stepping.
 
     TSDF behavior of kfusion/rendering_impl.hpp:34-74 (marching on
@@ -265,6 +268,16 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     the bracket refinement in :func:`raycast` — same sub-voxel result,
     an order of magnitude fewer gather rows). OFusion behavior of
     bfusion/rendering_impl.hpp:35-68 (constant step in known space).
+
+    ``prime_t`` (optional, [n]): per-ray surface-distance prediction
+    from the CURRENT depth frame. When the raycast pose equals the
+    frame's pose (the SLAM loop's case, DenseSLAMSystem.cpp:191-204
+    raycasts right after integrating the same frame), the fused surface
+    along a pixel's ray sits at its depth sample, so marching can start
+    one truncation band before it instead of at the near plane.
+    Intentional deviation (documented): a stale closer surface that the
+    current depth sees through would be skipped; such rays yield the
+    re-observed surface instead of the stale one.
     """
     n = tnear.shape[0]
     sent = _sentinel(field)
@@ -274,6 +287,11 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     bstep = BLOCK_SIDE * geom.voxel_size
     fill = 1.0 if is_tsdf else 0.0
 
+    if prime_t is not None:
+        backoff = (2.0 if is_tsdf else 6.0) * mu + 2.0 * geom.voxel_size
+        tnear = jnp.where(prime_t > 0,
+                          jnp.maximum(tnear, prime_t - backoff), tnear)
+
     f_t0 = _interp_mirror(geom, mirror, sent, fill,
                           (origin[0] + dx * tnear) * geom.inv_voxel_size,
                           (origin[1] + dy * tnear) * geom.inv_voxel_size,
@@ -282,7 +300,7 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
                            else (f_t0 <= SURF_BOUNDARY))
     status0 = jnp.where(go, 0, 2).astype(jnp.int32)
 
-    def stage(carry, dxx, dyy, dzz, tff, steps):
+    def stage(carry, dxx, dyy, dzz, tff, steps, chunks=None):
         def one(c):
             t, ss, f_t, f_tt, status = c
             mx, known, dist = _sample(
@@ -311,8 +329,10 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
             status = jnp.where(adv & (t >= tff), 2, status)
             return t, ss, f_t, f_tt, status
 
-        return bounded_steps(one, carry, steps,
-                             lambda c: jnp.any(c[4] == 0))
+        alive = lambda c: jnp.any(c[4] == 0)
+        if chunks is None:
+            return bounded_steps(one, carry, steps, alive)
+        return chunked_steps(one, carry, chunks, steps, alive)
 
     t = tnear + 0.0
     ss = jnp.full((n,), largestep if is_tsdf else step)
@@ -325,27 +345,37 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
                                      dx, dy, dz, tfar,
                                      min(first_steps, max_steps))
     done_budget = first_steps
-    for steps, frac in _CASCADE[1:]:
-        if done_budget >= max_steps:
-            break
+
+    def substage(t, ss, f_t, f_tt, status, frac, steps, chunks=None):
         budget = max(1024, int(n * frac))
         wl = _compact(n, budget, status == 0)
         wlc = jnp.maximum(wl, 0)
         sub_status = jnp.where(wl >= 0, 0, 2).astype(jnp.int32)
         sub = (t[wlc], ss[wlc], f_t[wlc], f_tt[wlc], sub_status)
         s_t, s_ss, s_ft, s_ftt, s_status = stage(
-            sub, dx[wlc], dy[wlc], dz[wlc], tfar[wlc],
-            min(steps, max_steps - done_budget))
-        done_budget += steps
+            sub, dx[wlc], dy[wlc], dz[wlc], tfar[wlc], steps,
+            chunks=chunks)
 
         def put(full, vals):
             return full.at[jnp.where(wl >= 0, wl, n)].set(vals, mode="drop")
 
-        t = put(t, s_t)
-        ss = put(ss, s_ss)
-        f_t = put(f_t, s_ft)
-        f_tt = put(f_tt, s_ftt)
-        status = put(status, s_status)
+        return (put(t, s_t), put(ss, s_ss), put(f_t, s_ft),
+                put(f_tt, s_ftt), put(status, s_status))
+
+    for steps, frac in _CASCADE[1:]:
+        if done_budget >= max_steps:
+            break
+        t, ss, f_t, f_tt, status = substage(
+            t, ss, f_t, f_tt, status, frac,
+            min(steps, max_steps - done_budget))
+        done_budget += steps
+
+    if done_budget < max_steps:
+        chunks = min(_TAIL_CHUNKS,
+                     -(-(max_steps - done_budget) // _TAIL_CHUNK))
+        t, ss, f_t, f_tt, status = substage(
+            t, ss, f_t, f_tt, status, _TAIL_FRAC, _TAIL_CHUNK,
+            chunks=chunks)
     # rays still marching after the cascade (beyond-budget overflow) miss
 
     hit = status == 1
@@ -373,10 +403,27 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     return jnp.where(hit, t_hit, 0.0), hit, mirror
 
 
+def prime_from_depth(depth, k):
+    """Per-pixel ray-parameter prediction of the surface from a depth
+    frame: t = depth * |invK (x, y, 1)| (the pixel-ray length at unit
+    z). Zero where depth is missing. Feed to :func:`raycast` when the
+    raycast pose equals the depth frame's pose.
+    """
+    h, w = depth.shape
+    fx, fy, cx, cy = k[0], k[1], k[2], k[3]
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    px, py = jnp.meshgrid(xs, ys, indexing="xy")
+    ux = (px - cx) / fx
+    uy = (py - cy) / fy
+    t = depth * jnp.sqrt(ux * ux + uy * uy + 1.0)
+    return jnp.where(depth > 0, t, 0.0).reshape(-1)
+
+
 @functools.partial(jax.jit, static_argnames=("geom", "field", "frame_size",
                                              "max_steps"))
 def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
-            near=NEAR_PLANE, far=FAR_PLANE):
+            near=NEAR_PLANE, far=FAR_PLANE, prime_t=None):
     """Produce vertex/normal/valid maps for tracking and rendering
     (ref raycastKernel, rendering.cpp:50-90).
 
@@ -396,7 +443,7 @@ def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
 
     t_hit, hit, mirror = _march(geom, state, field, origin, dx, dy, dz,
                                 tnear, tfar, mu, step, largestep,
-                                max_steps)
+                                max_steps, prime_t=prime_t)
 
     vx = origin[0] + dx * t_hit
     vy = origin[1] + dy * t_hit

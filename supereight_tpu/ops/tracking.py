@@ -32,10 +32,21 @@ from supereight_tpu.utils.loops import bounded_steps
 _TRIU = [(r, c) for r in range(6) for c in range(r, 6)]
 
 
+def pack_reference(ref_vertex, ref_normal, ref_valid):
+    """Pack the previous raycast's maps into [H*W, 8] rows for the
+    per-iteration reference gather (vertex, normal, valid, pad)."""
+    h, w = ref_vertex.shape[:2]
+    return jnp.concatenate(
+        [ref_vertex, ref_normal,
+         ref_valid[..., None].astype(jnp.float32),
+         jnp.zeros((h, w, 1), jnp.float32)], axis=-1).reshape(h * w, 8)
+
+
 def track_residuals(in_vertex, in_normal, in_valid, ref_vertex, ref_normal,
                     ref_valid, t_track, view,
                     dist_threshold=DIST_THRESHOLD,
-                    normal_threshold=NORMAL_THRESHOLD):
+                    normal_threshold=NORMAL_THRESHOLD,
+                    ref_packed=None):
     """Per-pixel point-to-plane residual + jacobian (trackKernel, 226-302).
 
     in_*: current-frame maps at one pyramid level [h, w, ...] (camera frame).
@@ -60,13 +71,14 @@ def track_residuals(in_vertex, in_normal, in_valid, ref_vertex, ref_normal,
     rx = jnp.clip(proj_px.astype(jnp.int32), 0, ref_w - 1)
     ry = jnp.clip(proj_py.astype(jnp.int32), 0, ref_h - 1)
     flat = (ry * ref_w + rx).reshape(-1)
-    def pick(img, c):
-        return img[..., c].reshape(-1)[flat].reshape(rx.shape)
-    rnx, rny, rnz = pick(ref_normal, 0), pick(ref_normal, 1), \
-        pick(ref_normal, 2)
-    rvx, rvy, rvz = pick(ref_vertex, 0), pick(ref_vertex, 1), \
-        pick(ref_vertex, 2)
-    ref_ok = ref_valid.reshape(-1)[flat].reshape(rx.shape)
+    if ref_packed is None:
+        ref_packed = pack_reference(ref_vertex, ref_normal, ref_valid)
+    # one 32-byte-row gather fetches vertex+normal+valid together
+    # (gather cost is per ROW; 8 channels ride free — CLAUDE.md)
+    ref = ref_packed[flat].reshape(rx.shape + (8,))
+    rvx, rvy, rvz = ref[..., 0], ref[..., 1], ref[..., 2]
+    rnx, rny, rnz = ref[..., 3], ref[..., 4], ref[..., 5]
+    ref_ok = ref[..., 6] > 0
 
     dx_, dy_, dz_ = rvx - pvx, rvy - pvy, rvz - pvz
     inx, iny, inz = (in_normal[..., 0], in_normal[..., 1], in_normal[..., 2])
@@ -234,6 +246,7 @@ def track(pose, raycast_pose, k_full, pyr_vertex, pyr_normal, pyr_valid,
     # in-loop gathers cost ~100x, rolled+early-exit on CPU). Freezing on
     # `done` reproduces the reference's per-level early break exactly:
     # once ||x|| < threshold, pose/reduction/result stop changing.
+    ref_packed = pack_reference(ref_vertex, ref_normal, ref_valid)
     for level in range(len(iterations) - 1, -1, -1):
         iv, inorm, ival = pyr_vertex[level], pyr_normal[level], pyr_valid[level]
 
@@ -241,7 +254,7 @@ def track(pose, raycast_pose, k_full, pyr_vertex, pyr_normal, pyr_valid,
             pose, reduction, result, done = c
             res, err, jac = track_residuals(iv, inorm, ival, ref_vertex,
                                             ref_normal, ref_valid, pose,
-                                            view)
+                                            view, ref_packed=ref_packed)
             red = reduce_tracking(res, err, jac)
             new_pose, converged = update_pose(pose, red, icp_threshold)
             pose = jnp.where(done, pose, new_pose)

@@ -101,7 +101,11 @@ def frame_step(geom, field, state: FrameState, depth_m, k, frame,
     def raycast_branch(_):
         view = jnp.matmul(pose, se3.inverse_camera_matrix(k),
                           precision=jax.lax.Precision.HIGHEST)
-        return raycast.raycast(geom, new_map, field, view, mu, frame_size)
+        # the raycast pose IS this frame's pose, so the depth frame
+        # primes the march (raycast.prime_from_depth)
+        prime = raycast.prime_from_depth(depth_m, k)
+        return raycast.raycast(geom, new_map, field, view, mu, frame_size,
+                               prime_t=prime)
 
     def keep_maps(_):
         return state.vertex, state.normal, state.valid

@@ -164,9 +164,10 @@ class DenseSLAMSystem:
         view = jnp.matmul(self.raycast_pose,
                           se3.inverse_camera_matrix(self.k),
                           precision=jax.lax.Precision.HIGHEST)
+        prime = raycast.prime_from_depth(self.float_depth, self.k)
         self.vertex, self.normal, self.valid = raycast.raycast(
             self.geom, self.map, self.field, view, self.config.mu,
-            self.computation_size)
+            self.computation_size, prime_t=prime)
         return True
 
     def process_frame(self, depth, frame: int, is_mm: bool = True,

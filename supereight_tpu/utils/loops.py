@@ -41,3 +41,28 @@ def bounded_steps(body, carry, steps: int, still_active):
     for _ in range(steps):
         carry = body(carry)
     return carry
+
+
+def chunked_steps(body, carry, chunks: int, chunk_size: int, still_active):
+    """Long-tail variant: up to ``chunks * chunk_size`` applications.
+
+    On TPU: a rolled ``fori_loop`` over chunks, each chunk a
+    ``lax.cond`` that either runs ``chunk_size`` unrolled steps or
+    passes through — compile cost is one chunk body, early exit at
+    chunk granularity, and the in-rolled-loop gather penalty (~2x)
+    only applies to the (small) straggler batches this is used for.
+    On CPU: one rolled while_loop (compile-friendly, exact early exit).
+    """
+    if jax.default_backend() == "cpu":
+        return bounded_steps(body, carry, chunks * chunk_size,
+                             still_active)
+
+    def run_chunk(c):
+        for _ in range(chunk_size):
+            c = body(c)
+        return c
+
+    def one_chunk(_, c):
+        return lax.cond(still_active(c), run_chunk, lambda cc: cc, c)
+
+    return lax.fori_loop(0, chunks, one_chunk, carry)
