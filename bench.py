@@ -37,6 +37,9 @@ BASELINE_FPS = 30.0
 
 
 def main():
+    from supereight_tpu.utils import compilecache
+    compilecache.enable()
+
     import jax
     import jax.numpy as jnp
 

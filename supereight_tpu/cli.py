@@ -55,6 +55,8 @@ def rotation_to_quaternion(R):
 
 
 def main(argv=None):
+    from supereight_tpu.utils import compilecache
+    compilecache.enable()
     parser = build_parser()
     parser.add_argument("--synthetic", type=int, default=0,
                         help="run N synthetic frames instead of a dataset")
