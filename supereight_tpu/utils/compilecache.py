@@ -18,7 +18,7 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
 
 
-def enable(cache_dir: str = None) -> None:
+def enable(cache_dir: str | None = None) -> None:
     if os.environ.get("SE_TPU_NO_COMPILE_CACHE") == "1":
         return
     import jax
