@@ -30,7 +30,6 @@ W, H = 320, 240
 SIZE = 512           # voxels per side
 DIM = 4.8            # meters
 CAPACITY = 36864     # voxel blocks
-BUDGET = 8192        # blocks integrated per frame (worklist bound)
 N_WARMUP = 3
 N_FRAMES = 20
 BASELINE_FPS = 30.0
@@ -62,7 +61,7 @@ def main():
 
     fn = functools.partial(
         pstep.frame_step, geom, field,
-        frame_size=(W, H), iterations=(10, 5, 4), budget=BUDGET,
+        frame_size=(W, H), iterations=(10, 5, 4),
         mu=0.1, icp_threshold=1e-5, neg_y=False, filter_input=False,
         use_gt_pose=False, integration_rate=1, tracking_rate=1)
 

@@ -44,8 +44,6 @@ class Configuration:
 
     # capacity of the voxel-block pool; None = heuristic from resolution
     block_capacity: Optional[int] = None
-    # budget of blocks integrated per frame; None = heuristic
-    active_budget: Optional[int] = None
 
     def resolve_capacity(self) -> int:
         if self.block_capacity is not None:
@@ -53,11 +51,6 @@ class Configuration:
         b = self.volume_resolution // 8
         # surface-shell heuristic: ~6 faces of the block grid, capped
         return min(b ** 3, max(16384, 8 * b * b))
-
-    def resolve_budget(self) -> int:
-        if self.active_budget is not None:
-            return self.active_budget
-        return min(self.resolve_capacity(), 16384)
 
 
 def default_camera(width: int, height: int):
@@ -90,7 +83,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--dump-volume", type=str, default="")
     p.add_argument("-g", "--groundtruth", type=str, default="")
     p.add_argument("--block-capacity", type=int, default=None)
-    p.add_argument("--active-budget", type=int, default=None)
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (cpu/axon/tpu)")
@@ -122,5 +114,4 @@ def config_from_args(args) -> Configuration:
         dump_volume_file=args.dump_volume,
         groundtruth_file=args.groundtruth,
         block_capacity=args.block_capacity,
-        active_budget=args.active_budget,
     )

@@ -264,41 +264,64 @@ def set_voxels(state: MapState, v: jnp.ndarray, x, y) -> MapState:
 # Allocation
 # ---------------------------------------------------------------------------
 
+# per-frame bound on NEW block allocations (static shape for the top_k
+# compaction below). Overflow cells stay unallocated and are re-touched
+# on later frames while still observed.
+ALLOC_BUDGET = 8192
+
+
 def allocate_blocks(geom: MapGeometry, state: MapState,
                     touched: jnp.ndarray) -> MapState:
     """Allocate every block whose bit is set in the dense [B,B,B] mask.
 
     The reference funnels per-pixel candidate keys through an atomic list,
     sort, dedup and per-level insertion (octree.hpp:792-856). Here dedup is
-    free (a dense boolean grid) and slot assignment is one prefix sum —
-    the TPU-shaped equivalent of the bump allocator. Newly created blocks
-    start active (ref: allocate_level sets active(true), octree.hpp:841).
+    free (a dense boolean grid); new cells are compacted with one top_k
+    (ascending cell id, matching the reference's sorted-key insertion
+    order) so every scatter has only ALLOC_BUDGET updates — TPU scatters
+    cost per UPDATE (~6 ns), so 262k-update scatters were the old cost.
+    Newly created blocks start active (ref: allocate_level sets
+    active(true), octree.hpp:841).
 
     Also refreshes ``mip_alloc`` so coarse values exist for all 8 children
     of every allocated node, the set the reference's update_node walks.
     """
     b = geom.blocks_per_side
     cap = geom.capacity
-    new_mask = touched & (state.slot < 0)
-    flat_new = new_mask.reshape(-1)
-    order = jnp.cumsum(flat_new.astype(jnp.int32)) - 1
-    dest = state.n_blocks + order               # prospective slot per cell
-    ok = flat_new & (dest < cap)
-    dest_or_drop = jnp.where(ok, dest, cap)     # cap = out-of-range -> drop
+    n_cells = b * b * b
+    kb = min(n_cells, ALLOC_BUDGET)
+    flat_new = (touched & (state.slot < 0)).reshape(-1)
+    g = jnp.arange(n_cells, dtype=jnp.int32)
 
-    # block coordinates for every grid cell, in C order of the mask ravel
-    g = jnp.arange(b * b * b, dtype=jnp.int32)
-    coords = jnp.stack([g // (b * b), (g // b) % b, g % b], axis=-1)
+    # top_k over (new ? 2*n_cells - cell : 0): selected new cells come out
+    # in ascending cell-id order; zeros mark empty lanes.
+    vals, _ = jax.lax.top_k(jnp.where(flat_new, 2 * n_cells - g, 0), kb)
+    real = vals > n_cells
+    cells = jnp.where(real, 2 * n_cells - vals, n_cells)
+    dest = state.n_blocks + jnp.arange(kb, dtype=jnp.int32)
+    ok = real & (dest < cap)
+    dest_or_drop = jnp.where(ok, dest, cap)     # cap / n_cells -> dropped
+    cells_or_drop = jnp.where(ok, cells, n_cells)
+
+    cx = cells // (b * b)
+    cy = (cells // b) % b
+    cz = cells % b
+    coords = jnp.stack([cx, cy, cz], axis=-1)
 
     block_coord = state.block_coord.at[dest_or_drop].set(coords, mode="drop")
     active = state.active.at[dest_or_drop].set(True, mode="drop")
-    slot = jnp.where(ok.reshape(b, b, b), dest.reshape(b, b, b), state.slot)
+    slot = state.slot.reshape(-1).at[cells_or_drop].set(
+        dest, mode="drop").reshape(b, b, b)
     n_new = jnp.sum(ok.astype(jnp.int32))
-    n_blocks = jnp.minimum(state.n_blocks + n_new, cap)
+    n_blocks = state.n_blocks + n_new
 
     # mark pre-existing touched blocks active too (ref: alloc_impl.hpp:109)
-    touched_slot = jnp.where(touched & (state.slot >= 0), state.slot, cap)
-    active = active.at[touched_slot.reshape(-1)].set(True, mode="drop")
+    # — gather-inverted: per slot, is my grid cell touched?
+    tb = touched[jnp.clip(block_coord[:, 0], 0, b - 1),
+                 jnp.clip(block_coord[:, 1], 0, b - 1),
+                 jnp.clip(block_coord[:, 2], 0, b - 1)]
+    slot_ids = jnp.arange(cap, dtype=jnp.int32)
+    active = active | (tb & (slot_ids < n_blocks))
 
     state = state._replace(block_coord=block_coord, active=active,
                            slot=slot, n_blocks=n_blocks)

@@ -8,10 +8,15 @@ field functor, then update the coarse node values.
 TPU design: the active list is a fixed-budget compaction (prefix sum over
 the slot mask, like the reference's parallel filter,
 algorithms/filter.hpp:61-107); the per-block 8x8x8 voxel update is a
-single batched program of shape [budget, 512] (maps onto the VPU); the
-node pass is a dense update over each mip level gated by mip_alloc.
-Coordinates are carried as separate x/y/z arrays of shape [budget, 512]
-(large minor dim; no [..., 3] stacking — see se3.transform_c).
+single batched program of shape [budget, 512] (maps onto the VPU). The
+stage cost is the per-voxel depth fetch: TPU gathers are SERIAL per
+gathered row (~7 ns — CLAUDE.md perf laws), so the fetch reads 8-pixel
+STRIPS (~3.4 ns/row) and lane-selects the exact pixel with vector ops,
+halving the dominant term while keeping the reference's exact
+nearest-neighbour depth sample. The node pass is a dense update over
+each mip level gated by mip_alloc. Coordinates are carried as separate
+x/y/z arrays of shape [budget, 512] (large minor dim; no [..., 3]
+stacking — see se3.transform_c).
 """
 
 import functools
@@ -21,6 +26,7 @@ import jax.numpy as jnp
 
 from supereight_tpu.constants import BLOCK_SIDE, BLOCK_VOXELS
 from supereight_tpu.core import se3
+from supereight_tpu.utils.loops import lane_select
 from supereight_tpu.fields import tsdf as tsdf_field
 from supereight_tpu.fields import ofusion as ofusion_field
 
@@ -85,11 +91,21 @@ def _project_voxels_c(geom, wx, wy, wz, t_cw, k, frame_size):
 
 def _sample_depth(depth, px, py):
     """Nearest-neighbour depth fetch at truncated pixel coords
-    (ref sdf_update/bfusion_update: depth[int(pixel)]); one flat gather."""
+    (ref sdf_update/bfusion_update: depth[int(pixel)]).
+
+    Gather cost on TPU is per ROW: fetch the 8-pixel strip containing the
+    pixel (image width is padded to a multiple of 8) and lane-select the
+    exact sample — same result as an element gather at ~half the cost.
+    """
     h, w = depth.shape
     xi = jnp.clip(px.astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(py.astype(jnp.int32), 0, h - 1)
-    return depth.reshape(-1)[yi * w + xi]
+    ws = (w + 7) // 8
+    if w % 8:
+        depth = jnp.pad(depth, ((0, 0), (0, ws * 8 - w)))
+    strips = depth.reshape(h * ws, 8)
+    row = strips[yi * ws + (xi >> 3)]                  # [..., 8]
+    return lane_select(row, xi & 7)
 
 
 def _field_update(field, old_x, old_y, pos_cam, depth_sample, valid, *,
@@ -104,7 +120,7 @@ def _field_update(field, old_x, old_y, pos_cam, depth_sample, valid, *,
 @functools.partial(jax.jit,
                    static_argnames=("geom", "field", "frame_size", "budget"))
 def integrate(geom, state, field, depth, pose, k, mu, timestamp,
-              frame_size, budget: int):
+              frame_size, budget: int = 8192):
     """One fusion pass: block update + node (mip) update
     (ref projective_functor::apply, projective_functor.hpp:139-156).
 
@@ -114,14 +130,13 @@ def integrate(geom, state, field, depth, pose, k, mu, timestamp,
     t_cw = se3.inverse(pose)
     K = se3.camera_matrix(k)
     cap = geom.capacity
+    budget = min(budget, cap)
 
     # ---- block pass -----------------------------------------------------
     # Compacted worklist of active ∧ in-frustum blocks (ref
-    # build_active_list, projective_functor.hpp:54-71). Row-wise 2KB
-    # gathers/scatters over [budget] pool rows are nearly free (cost is
-    # per ROW — CLAUDE.md perf laws); the per-VOXEL depth fetch
-    # ([budget, 512] rows) dominates this stage, so bounding the row
-    # count with the worklist matters.
+    # build_active_list, projective_functor.hpp:54-71): the strip fetch
+    # below costs per gathered ROW, so bounding rows to [budget, 512]
+    # is the stage's cost knob.
     wl = build_active_worklist(geom, state, t_cw, K, frame_size, budget)
     present = wl < cap
     slots = jnp.minimum(wl, cap - 1)

@@ -5,40 +5,56 @@ driving the field-specific marchers kfusion/rendering_impl.hpp:34-74
 (TSDF sphere tracing with unknown-space skipping) and
 bfusion/rendering_impl.hpp:35-68 (occupancy constant-step march).
 
-TPU design (see CLAUDE.md "TPU perf laws": gathers/scatters cost ~7 ns
-per ROW regardless of row width, so the design minimizes row count):
+TPU design (see CLAUDE.md "TPU perf laws": gathers are SERIAL, ~7 ns per
+gathered ROW from fast-zone (≤96 MB) tables; 8-16-wide rows amortize to
+~3.4-4.6 ns/row — so the design minimizes gathered rows and keeps every
+marching table under the ~96 MB fast-gather threshold):
 
-* A dense **march mirror** [B^3, 512] f32 is built per raycast with one
-  block-row gather (262k rows x 2KB ~ 2 ms): allocated blocks carry
-  their voxel values (weight-0 voxels -> UNKNOWN sentinel), unallocated
-  cells carry ``SENT + chebyshev-block-distance`` so a single fetch
-  yields both the field sample and the safe empty-space jump. This
-  replaces both the reference's octree ray iterator
-  (ray_iterator.hpp:116-226) and per-sample ``fetch``: every march step
-  is ONE flat gather with pure-VPU decoding.
+* ``nav`` — one i32 [B^3] grid (1 MB): the pool slot for allocated block
+  cells, minus the capped chebyshev block-distance for empty cells. ONE
+  gather per probe yields both addressing and the safe empty-space jump,
+  replacing the reference's octree ray iterator
+  (ray_iterator.hpp:116-226).
+* ``strips`` — the pool re-rowed as x-lines, bf16 [(cap+1)*64, 16]:
+  lanes 0-7 are a brick's x-line (weight-0 voxels as an UNKNOWN
+  sentinel, a sentinel row block for unallocated cells), lanes 8-15 the
+  next-x brick's x-line. A march probe is nav-gather + strip-row gather
+  + vectorized lane select; a trilinear stencil needs only 4 row
+  fetches (one per (y,z) corner pair) with (x, x+1) lane-selected in
+  registers and the sentinel decoding to the field's init fill.
+  One fetch set yields BOTH the value and the trilinear cell gradient;
+  the hit refinement is a Newton step along the ray on that fetch and
+  the surface normal is the same cell gradient. (Deviation from the
+  reference's bracket interpolation + 4^3-ladder gradient
+  (octree.hpp:652-737), documented: inside a cell the trilinear Newton
+  step equals the reference's zero-crossing solve, and the cell gradient
+  is the exact gradient of the interpolant; bf16 march/interp storage
+  adds <1 mm surface noise. The exact reference gradient remains in
+  core/interp.py for the Volume API and tests.)
 * Rays march in lockstep, fully unrolled on TPU (rolled on CPU —
   utils/loops.bounded_steps), in a compaction cascade: a short
   full-image pass, then unfinished rays compact into geometrically
-  smaller batches for longer budgets. Lockstep costs rows-per-step, so
-  narrowing the live set is what early exit becomes on a VPU.
-* Trilinear refinement + gradients also read the mirror (the sentinel
-  decodes to the field's init/empty fill arithmetically), removing all
-  slot-lookup gathers from the per-pixel path.
+  smaller batches for longer budgets. Serial gathers cost rows-per-step,
+  so narrowing the live set is what early exit becomes here. Depth
+  priming (prime_from_depth) starts rays one truncation band before the
+  predicted surface, which is what makes the first pass short.
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from supereight_tpu.constants import (BLOCK_SIDE, FAR_PLANE, INVALID,
                                       NEAR_PLANE, SURF_BOUNDARY)
-from supereight_tpu.core import interp as interp_mod
 from supereight_tpu.core import se3
-from supereight_tpu.utils.loops import bounded_steps, chunked_steps
+from supereight_tpu.utils.loops import (bounded_steps, chunked_steps,
+                                        lane_select)
 
 MAX_JUMP = 6   # cap of the chebyshev block-distance transform
+
+_LANE8 = jnp.arange(8, dtype=jnp.int32)
+_LANE16 = jnp.arange(16, dtype=jnp.int32)
 
 
 def ray_directions_c(view, width, height):
@@ -77,11 +93,11 @@ def ray_box_range_c(origin, dx, dy, dz, dim, near=NEAR_PLANE, far=FAR_PLANE):
 
 
 def _sentinel(field):
-    """Unknown-space sentinel base; values >= base/2 decode as unknown.
+    """Unknown-space sentinel; values >= sentinel/2 decode as unknown.
 
-    TSDF x is clamped to [-1, 1] (volume_traits.hpp:41-51) -> base 2.
+    TSDF x is clamped to [-1, 1] (volume_traits.hpp:41-51) -> 2.
     OFusion log-odds are clamped to +-1000 (volume_traits.hpp:74-81)
-    -> base 4096.
+    -> 4096. Both are exactly representable in bf16.
     """
     return 2.0 if field.name == "tsdf" else 4096.0
 
@@ -98,35 +114,62 @@ def block_distance(geom, state, max_jump: int = MAX_JUMP):
     return d
 
 
-def build_march_mirror(geom, state, field):
-    """Dense [B^3 * 512] f32 marching field (see module docstring).
+def build_nav(geom, state):
+    """i32 [B^3]: pool slot for allocated cells; -(chebyshev block
+    distance) for empty cells (always <= -1). One gather decodes both."""
+    d = block_distance(geom, state).astype(jnp.int32)
+    return jnp.where(state.slot >= 0, state.slot, -d).reshape(-1)
 
-    Encoding: value v with v < SENT/2 -> known voxel sample; otherwise
-    v - SENT = chebyshev block distance to the nearest allocated block
-    (0 for weight-0 voxels inside allocated blocks).
+
+def build_strips(geom, state, field):
+    """bf16 [(cap+1)*64, 16] marching/interp strips: each row is a
+    brick's x-line (lanes 0-7) concatenated with the NEXT-x brick's
+    x-line (lanes 8-15), so both a march probe and an (x, x+1)
+    trilinear pair are ONE row fetch. Row block 0 is the sentinel
+    "unallocated" brick.
+
+    Values are MARCH-encoded: weight-0 voxels carry the UNKNOWN
+    sentinel (the reference's y == 0 check, kfusion raycast unknown
+    skip); interpolation decodes sentinel -> the field's init x, which
+    equals the reference's empty()/init fill (octree.hpp:542-563,
+    652-737) AND the stored value of never-updated voxels. bf16
+    storage adds <1 mm surface noise (documented deviation).
     """
-    sent = _sentinel(field)
-    march_pool = jnp.where(state.data_y == 0, sent, state.data_x)
-    slot_flat = state.slot.reshape(-1)
-    rows = march_pool[jnp.maximum(slot_flat, 0)]         # [B^3, 512] gather
-    d = block_distance(geom, state).reshape(-1)
-    empty_rows = (sent + d)[:, None]
-    mirror = jnp.where((slot_flat >= 0)[:, None], rows, empty_rows)
-    return mirror.reshape(-1)
+    cap = geom.capacity
+    b = geom.blocks_per_side
+    unk = _sentinel(field)
+    vals = jnp.where(state.data_y == 0, unk, state.data_x)
+    vals = jnp.concatenate(
+        [jnp.full((1, vals.shape[1]), unk, jnp.float32), vals])
+
+    # next-x brick slot per pool slot (edge / unallocated -> sentinel)
+    bx = state.block_coord[:, 0] + 1
+    by = state.block_coord[:, 1]
+    bz = state.block_coord[:, 2]
+    inb = bx < b
+    nslot = state.slot.reshape(-1)[
+        (jnp.clip(bx, 0, b - 1) * b + by) * b + bz]
+    nslot = jnp.where(inb, nslot, -1)
+    nslot = jnp.concatenate([jnp.full((1,), -1, jnp.int32), nslot])
+    nvals = vals[nslot + 1]                                # [cap+1, 512]
+
+    left = vals.reshape(cap + 1, 64, 8)
+    right = nvals.reshape(cap + 1, 64, 8)
+    strips = jnp.concatenate([left, right], axis=-1)
+    return strips.astype(jnp.bfloat16).reshape(-1, 16)
 
 
-def _mirror_fetch(geom, mirror, vx, vy, vz):
-    """Raw mirror fetch at clipped integer voxel coords: one flat gather."""
+def _cell_and_strip(geom, vx, vy, vz):
+    """Block-grid cell id and in-brick strip id for integer voxel coords."""
     b = geom.blocks_per_side
     cell = ((vx >> 3) * b + (vy >> 3)) * b + (vz >> 3)
-    lin = (vx & 7) + ((vy & 7) << 3) + ((vz & 7) << 6)
-    return mirror[cell * 512 + lin]
+    strip = (vy & 7) + ((vz & 7) << 3)
+    return cell, strip
 
 
-def _sample(geom, mirror, sent, px, py, pz):
-    """One marching probe at metric positions: gather + VPU decode.
-
-    Returns (value, known, jump_dist_blocks)."""
+def _probe(geom, nav, strips, unk, px, py, pz):
+    """One marching probe at metric positions: nav gather + strip row +
+    lane select. Returns (value, known, jump_dist_blocks)."""
     size = geom.size
     vx = (px * geom.inv_voxel_size).astype(jnp.int32)
     vy = (py * geom.inv_voxel_size).astype(jnp.int32)
@@ -136,138 +179,110 @@ def _sample(geom, mirror, sent, px, py, pz):
     vx = jnp.clip(vx, 0, size - 1)
     vy = jnp.clip(vy, 0, size - 1)
     vz = jnp.clip(vz, 0, size - 1)
-    s = _mirror_fetch(geom, mirror, vx, vy, vz)
-    known = (s < 0.5 * sent) & inb
-    dist = jnp.where(known, 0.0, jnp.maximum(s - sent, 0.0))
-    dist = jnp.where(inb, dist, MAX_JUMP)
-    return s, known, dist
+    cell, strip = _cell_and_strip(geom, vx, vy, vz)
+    nv = nav[cell]
+    row = strips[(jnp.maximum(nv, -1) + 1) * 64 + strip]      # [..., 16]
+    val = lane_select(row, vx & 7).astype(jnp.float32)
+    known = (val < 0.5 * unk) & inb
+    dist = jnp.where(nv < 0, (-nv).astype(jnp.float32), 0.0)
+    dist = jnp.where(inb, dist, float(MAX_JUMP))
+    return val, known, dist
 
 
-def _interp_mirror(geom, mirror, sent, fill, px, py, pz):
-    """Trilinear interpolation from the mirror at continuous VOXEL coords.
+def _interp_grad(geom, nav, strips, unk, fill, px, py, pz):
+    """Trilinear value AND cell gradient from ONE 4-row fetch set.
 
-    Sentinel values decode to ``fill`` (the field's empty/init x — they
-    coincide for both field types: TSDF 1.0, OFusion 0.0). Matches
-    Octree::interp semantics (octree.hpp:542-563) with O(1) addressing.
+    px/py/pz are continuous VOXEL coordinates. Returns
+    (value, gx, gy, gz) with the gradient in per-voxel units — the exact
+    gradient of the trilinear interpolant (Octree::interp semantics,
+    octree.hpp:542-563; gradient deviation documented in the module
+    docstring). Unknown-sentinel corners decode to ``fill`` (the
+    field's init/empty x).
     """
+    size = geom.size
     bx = jnp.floor(px)
     by = jnp.floor(py)
     bz = jnp.floor(pz)
     fx, fy, fz = px - bx, py - by, pz - bz
-    size = geom.size
-    ix = jnp.maximum(bx.astype(jnp.int32), 0)
-    iy = jnp.maximum(by.astype(jnp.int32), 0)
-    iz = jnp.maximum(bz.astype(jnp.int32), 0)
+    ix = jnp.clip(bx.astype(jnp.int32), 0, size - 1)
+    iy0 = jnp.clip(by.astype(jnp.int32), 0, size - 1)
+    iz0 = jnp.clip(bz.astype(jnp.int32), 0, size - 1)
+    iy1 = jnp.minimum(iy0 + 1, size - 1)
+    iz1 = jnp.minimum(iz0 + 1, size - 1)
+    lane = ix & 7
 
-    off = jnp.asarray(
-        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
-         [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1]], jnp.int32)
-    sh = (8,) + (1,) * ix.ndim
-    cx = ix[None] + off[:, 0].reshape(sh)
-    cy = iy[None] + off[:, 1].reshape(sh)
-    cz = iz[None] + off[:, 2].reshape(sh)
-    inb = (cx < size) & (cy < size) & (cz < size)   # lower already >= 0
-    s = _mirror_fetch(geom, mirror, jnp.minimum(cx, size - 1),
-                      jnp.minimum(cy, size - 1), jnp.minimum(cz, size - 1))
-    p = jnp.where((s < 0.5 * sent) & inb, s, fill)
-    c00 = p[0] * (1 - fx) + p[1] * fx
-    c10 = p[2] * (1 - fx) + p[3] * fx
-    c01 = p[4] * (1 - fx) + p[5] * fx
-    c11 = p[6] * (1 - fx) + p[7] * fx
+    def pair(yk, zk):
+        cell, strip = _cell_and_strip(geom, ix, yk, zk)
+        nv = nav[cell]
+        row = strips[(jnp.maximum(nv, -1) + 1) * 64 + strip]  # [..., 16]
+        v0 = lane_select(row, lane).astype(jnp.float32)
+        v1 = lane_select(row, lane + 1).astype(jnp.float32)
+        v0 = jnp.where(v0 < 0.5 * unk, v0, fill)
+        v1 = jnp.where(v1 < 0.5 * unk, v1, fill)
+        return v0, v1
+
+    v000, v100 = pair(iy0, iz0)
+    v010, v110 = pair(iy1, iz0)
+    v001, v101 = pair(iy0, iz1)
+    v011, v111 = pair(iy1, iz1)
+
+    # x-lerped corner values of the (y, z) face
+    c00 = v000 * (1 - fx) + v100 * fx
+    c10 = v010 * (1 - fx) + v110 * fx
+    c01 = v001 * (1 - fx) + v101 * fx
+    c11 = v011 * (1 - fx) + v111 * fx
     c0 = c00 * (1 - fy) + c10 * fy
     c1 = c01 * (1 - fy) + c11 * fy
-    return c0 * (1 - fz) + c1 * fz
+    val = c0 * (1 - fz) + c1 * fz
 
-
-# grad stencil enumeration shared with core/interp.py
-_G_IX = interp_mod._GRAD_IX
-_G_IY = interp_mod._GRAD_IY
-_G_IZ = interp_mod._GRAD_IZ
-_G_ID = interp_mod._GRAD_ID
-
-
-def _grad_mirror(geom, mirror, sent, fill, px, py, pz):
-    """Field gradient from the mirror (Octree::grad, octree.hpp:652-737).
-
-    Unknown/unallocated samples decode to ``fill`` (init x — equals the
-    stored value of never-updated voxels for both field types). Returns
-    (gx, gy, gz) scaled by 0.5 * voxel_size.
-    """
-    size = geom.size
-
-    def ladder(b):
-        return jnp.stack([jnp.maximum(b - 1, 0),
-                          jnp.maximum(b, 0),
-                          jnp.minimum(b + 1, size - 1),
-                          jnp.minimum(b + 2, size - 1)])
-
-    bx = jnp.floor(px)
-    by = jnp.floor(py)
-    bz = jnp.floor(pz)
-    fx, fy, fz = px - bx, py - by, pz - bz
-    lx = ladder(bx.astype(jnp.int32))
-    ly = ladder(by.astype(jnp.int32))
-    lz = ladder(bz.astype(jnp.int32))
-
-    s = _mirror_fetch(geom, mirror, lx[_G_IX], ly[_G_IY], lz[_G_IZ])
-    vals = jnp.where(s < 0.5 * sent, s, fill)
-
-    def p(i, j, kk):
-        return vals[_G_ID[(i, j, kk)]]
-
-    def dx(jy, kz):
-        return ((p(2, jy, kz) - p(0, jy, kz)) * (1 - fx)
-                + (p(3, jy, kz) - p(1, jy, kz)) * fx)
-
-    gx = ((dx(1, 1) * (1 - fy) + dx(2, 1) * fy) * (1 - fz)
-          + (dx(1, 2) * (1 - fy) + dx(2, 2) * fy) * fz)
-
-    def dy(ix, kz):
-        return ((p(ix, 2, kz) - p(ix, 0, kz)) * (1 - fy)
-                + (p(ix, 3, kz) - p(ix, 1, kz)) * fy)
-
-    gy = ((dy(1, 1) * (1 - fx) + dy(2, 1) * fx) * (1 - fz)
-          + (dy(1, 2) * (1 - fx) + dy(2, 2) * fx) * fz)
-
-    def dz(ix, jy):
-        return ((p(ix, jy, 2) - p(ix, jy, 0)) * (1 - fz)
-                + (p(ix, jy, 3) - p(ix, jy, 1)) * fz)
-
-    gz = ((dz(1, 1) * (1 - fx) + dz(2, 1) * fx) * (1 - fy)
-          + (dz(1, 2) * (1 - fx) + dz(2, 2) * fx) * fy)
-
-    sc = 0.5 * geom.voxel_size
-    return gx * sc, gy * sc, gz * sc
+    dx00 = v100 - v000
+    dx10 = v110 - v010
+    dx01 = v101 - v001
+    dx11 = v111 - v011
+    gx = ((dx00 * (1 - fy) + dx10 * fy) * (1 - fz)
+          + (dx01 * (1 - fy) + dx11 * fy) * fz)
+    gy = (c10 - c00) * (1 - fz) + (c11 - c01) * fz
+    gz = c1 - c0
+    return val, gx, gy, gz
 
 
 def _compact(n, budget, mask):
-    """Fixed-budget worklist of ray indices where mask is set."""
-    order = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    dest = jnp.where(mask & (order < budget), order, budget)
-    wl = jnp.full((budget,), -1, jnp.int32).at[dest].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    return wl
+    """Fixed-budget worklist of ray indices where mask is set (-1 pads).
+
+    top_k compaction: scatters cost per UPDATE on TPU (~0.6 ms for a
+    full-image index set) while top_k over the same size is ~0.1 ms
+    (CLAUDE.md perf laws)."""
+    ids = jnp.arange(n, dtype=jnp.int32)
+    vals, _ = jax.lax.top_k(jnp.where(mask, n - ids, 0), budget)
+    return jnp.where(vals > 0, n - vals, -1)
 
 
-# compaction cascade: (steps, live-fraction budget) per stage. Stage 0
+# compaction cascades: (steps, live-fraction budget) per stage. Stage 0
 # runs on all rays; later stages on geometrically fewer stragglers, so
-# total gather rows stay ~2x the first stage while long grazing rays
-# still get hundreds of steps (the reference's per-ray loop shape).
-# The tail runs as cond-skipped chunks inside a rolled loop (cheap to
-# compile, early-exits at chunk granularity).
-_CASCADE = ((16, 1.0), (48, 0.25))
-_TAIL_CHUNKS, _TAIL_CHUNK, _TAIL_FRAC = 32, 8, 0.0625
+# total gather rows stay bounded while long grazing rays still get
+# ~100+ steps (the reference's per-ray loop shape). The tail runs as
+# cond-skipped chunks inside a rolled loop (cheap to compile,
+# early-exits at chunk granularity, ~3.4x per-step penalty on small
+# straggler batches only). Budgets sized from measured live-ray decay
+# on the bench scene (tools/march_live_counts.py: primed live fraction
+# 19% after 6 steps, 1.3% after 16, zero by 48; cold 30% after 16,
+# 0.2% by 32). Live rays beyond a stage budget miss for the frame —
+# the budgets keep ~2x headroom over the measured counts.
+_CASCADE_PRIMED = ((6, 1.0), (10, 1.0 / 3.0), (32, 1.0 / 24.0))
+_CASCADE_COLD = ((16, 1.0), (16, 1.0 / 3.0), (32, 1.0 / 48.0))
+_TAIL_CHUNKS, _TAIL_CHUNK, _TAIL_FRAC = 8, 8, 1.0 / 48.0
 
 
 def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
-           step, largestep, max_steps, mirror=None, prime_t=None):
+           step, largestep, max_steps, nav=None, strips=None,
+           prime_t=None):
     """Lockstep field march, TSDF sphere tracing or occupancy stepping.
 
     TSDF behavior of kfusion/rendering_impl.hpp:34-74 (marching on
     voxel samples; the reference's in-band interp switch is deferred to
-    the bracket refinement in :func:`raycast` — same sub-voxel result,
-    an order of magnitude fewer gather rows). OFusion behavior of
-    bfusion/rendering_impl.hpp:35-68 (constant step in known space).
+    the trilinear Newton refinement in :func:`raycast` — same sub-voxel
+    result, an order of magnitude fewer gather rows). OFusion behavior
+    of bfusion/rendering_impl.hpp:35-68 (constant step in known space).
 
     ``prime_t`` (optional, [n]): per-ray surface-distance prediction
     from the CURRENT depth frame. When the raycast pose equals the
@@ -280,10 +295,12 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     re-observed surface instead of the stale one.
     """
     n = tnear.shape[0]
-    sent = _sentinel(field)
+    unk = _sentinel(field)
     is_tsdf = field.name == "tsdf"
-    if mirror is None:
-        mirror = build_march_mirror(geom, state, field)
+    if nav is None:
+        nav = build_nav(geom, state)
+    if strips is None:
+        strips = build_strips(geom, state, field)
     bstep = BLOCK_SIDE * geom.voxel_size
     fill = 1.0 if is_tsdf else 0.0
 
@@ -292,19 +309,20 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
         tnear = jnp.where(prime_t > 0,
                           jnp.maximum(tnear, prime_t - backoff), tnear)
 
-    f_t0 = _interp_mirror(geom, mirror, sent, fill,
-                          (origin[0] + dx * tnear) * geom.inv_voxel_size,
-                          (origin[1] + dy * tnear) * geom.inv_voxel_size,
-                          (origin[2] + dz * tnear) * geom.inv_voxel_size)
-    go = (tnear < tfar) & ((f_t0 > 0) if is_tsdf
-                           else (f_t0 <= SURF_BOUNDARY))
+    f0, known0, _ = _probe(geom, nav, strips, unk,
+                           origin[0] + dx * tnear,
+                           origin[1] + dy * tnear,
+                           origin[2] + dz * tnear)
+    v0 = jnp.where(known0, f0, fill)
+    go = (tnear < tfar) & ((v0 > 0) if is_tsdf
+                           else (v0 <= SURF_BOUNDARY))
     status0 = jnp.where(go, 0, 2).astype(jnp.int32)
 
     def stage(carry, dxx, dyy, dzz, tff, steps, chunks=None):
         def one(c):
             t, ss, f_t, f_tt, status = c
-            mx, known, dist = _sample(
-                geom, mirror, sent,
+            mx, known, dist = _probe(
+                geom, nav, strips, unk,
                 origin[0] + dxx * t, origin[1] + dyy * t,
                 origin[2] + dzz * t)
             active = status == 0
@@ -340,7 +358,8 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     f_tt = jnp.zeros((n,))
     status = status0
 
-    first_steps, _ = _CASCADE[0]
+    cascade = _CASCADE_PRIMED if prime_t is not None else _CASCADE_COLD
+    first_steps, _ = cascade[0]
     t, ss, f_t, f_tt, status = stage((t, ss, f_t, f_tt, status),
                                      dx, dy, dz, tfar,
                                      min(first_steps, max_steps))
@@ -362,7 +381,7 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
         return (put(t, s_t), put(ss, s_ss), put(f_t, s_ft),
                 put(f_tt, s_ftt), put(status, s_status))
 
-    for steps, frac in _CASCADE[1:]:
+    for steps, frac in cascade[1:]:
         if done_budget >= max_steps:
             break
         t, ss, f_t, f_tt, status = substage(
@@ -379,28 +398,21 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     # rays still marching after the cascade (beyond-budget overflow) miss
 
     hit = status == 1
-    iv = geom.inv_voxel_size
-
-    def at(tv):
-        return ((origin[0] + dx * tv) * iv, (origin[1] + dy * tv) * iv,
-                (origin[2] + dz * tv) * iv)
-
-    fa = _interp_mirror(geom, mirror, sent, fill, *at(t - ss))
-    fb = _interp_mirror(geom, mirror, sent, fill, *at(t))
+    # linear zero-crossing estimate from the voxel-sample bracket
+    # (kfusion/rendering_impl.hpp:66-70 / bfusion 58-64 semantics)
     if is_tsdf:
-        use_interp = hit & (fb < 0) & (fa >= 0)
-        f_hi = jnp.where(use_interp, fa,
-                         jnp.where(jnp.isinf(f_t), 1.0, f_t))
-        f_lo = jnp.where(use_interp, fb, f_tt)
-        denom = jnp.where(f_hi == f_lo, 1.0, f_hi - f_lo)
-        t_hit = t + ss * f_lo / denom
+        f_hi = jnp.where(jnp.isinf(f_t), 1.0, f_t)
+        f_lo = f_tt
     else:
-        use_interp = hit & (fb > SURF_BOUNDARY) & (fa <= SURF_BOUNDARY)
-        f_hi = jnp.where(use_interp, fb, f_tt)
-        f_lo = jnp.where(use_interp, fa, f_t)
-        denom = jnp.where(f_hi == f_lo, 1.0, f_hi - f_lo)
-        t_hit = t - ss * (f_hi - SURF_BOUNDARY) / denom
-    return jnp.where(hit, t_hit, 0.0), hit, mirror
+        f_hi = f_tt
+        f_lo = f_t
+    denom = jnp.where(f_hi == f_lo, 1.0, f_hi - f_lo)
+    if is_tsdf:
+        t1 = t + ss * f_lo / denom
+    else:
+        t1 = t - ss * (f_hi - SURF_BOUNDARY) / denom
+    return (jnp.where(hit, t1, 0.0), jnp.where(hit, ss, 0.0), hit,
+            nav, strips)
 
 
 def prime_from_depth(depth, k):
@@ -441,18 +453,31 @@ def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
     origin = view[:3, 3]
     tnear, tfar = ray_box_range_c(origin, dx, dy, dz, geom.dim, near, far)
 
-    t_hit, hit, mirror = _march(geom, state, field, origin, dx, dy, dz,
-                                tnear, tfar, mu, step, largestep,
-                                max_steps, prime_t=prime_t)
+    t1, ss, hit, nav, strips = _march(geom, state, field, origin,
+                                      dx, dy, dz, tnear, tfar, mu, step,
+                                      largestep, max_steps,
+                                      prime_t=prime_t)
+
+    # Newton refinement + normal from ONE trilinear fetch set: value and
+    # cell gradient at the bracket estimate; step along the ray to the
+    # interpolant's zero crossing (clamped inside the bracket).
+    iv = geom.inv_voxel_size
+    unk = _sentinel(field)
+    fill = 1.0 if field.name == "tsdf" else 0.0
+    v1, gx, gy, gz = _interp_grad(geom, nav, strips, unk, fill,
+                                  (origin[0] + dx * t1) * iv,
+                                  (origin[1] + dy * t1) * iv,
+                                  (origin[2] + dz * t1) * iv)
+    deriv = (gx * dx + gy * dy + gz * dz) * iv          # d(field)/dt
+    safe = jnp.abs(deriv) > 1e-6
+    # both fields cross the surface at 0 (TSDF zero / SURF_BOUNDARY)
+    t_hit = t1 - jnp.where(safe, v1 / jnp.where(safe, deriv, 1.0), 0.0)
+    t_hit = jnp.clip(t_hit, t1 - ss, t1 + ss)
+    t_hit = jnp.where(hit, t_hit, 0.0)
 
     vx = origin[0] + dx * t_hit
     vy = origin[1] + dy * t_hit
     vz = origin[2] + dz * t_hit
-    iv = geom.inv_voxel_size
-    sent = _sentinel(field)
-    fill = 1.0 if field.name == "tsdf" else 0.0
-    gx, gy, gz = _grad_mirror(geom, mirror, sent, fill,
-                              vx * iv, vy * iv, vz * iv)
     gn = jnp.sqrt(gx * gx + gy * gy + gz * gz)
     inv = 1.0 / jnp.where(gn == 0, 1.0, gn)
     if field.invert_normals:

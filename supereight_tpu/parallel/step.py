@@ -46,12 +46,12 @@ def init_frame_state(geom, field, frame_size, init_pose):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("geom", "field", "frame_size", "iterations", "budget",
+    static_argnames=("geom", "field", "frame_size", "iterations",
                      "mu", "icp_threshold", "neg_y", "filter_input",
                      "use_gt_pose", "integration_rate", "tracking_rate"))
 def frame_step(geom, field, state: FrameState, depth_m, k, frame,
                gt_pose=None, *,
-               frame_size, iterations, budget,
+               frame_size, iterations,
                mu, icp_threshold,
                neg_y, filter_input, use_gt_pose=False,
                integration_rate=2, tracking_rate=1):
@@ -92,7 +92,7 @@ def frame_step(geom, field, state: FrameState, depth_m, k, frame,
                                           pose, k, mu)
         return integration.integrate(
             geom, m2, field, depth_m, pose, k, mu,
-            (1.0 / 30.0) * frame.astype(jnp.float32), frame_size, budget)
+            (1.0 / 30.0) * frame.astype(jnp.float32), frame_size)
 
     new_map = jax.lax.cond(do_integrate, integrate_branch,
                            lambda m_state: m_state, state.map)

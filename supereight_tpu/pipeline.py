@@ -66,7 +66,6 @@ class DenseSLAMSystem:
         self.geom = MapGeometry(size=config.volume_resolution,
                                 dim=config.volume_size,
                                 capacity=config.resolve_capacity())
-        self.budget = config.resolve_budget()
         self.map = make_map(self.geom, self.field)
 
         if init_pose is None:
@@ -130,13 +129,13 @@ class DenseSLAMSystem:
         power of two covering all allocated blocks (one recompile per
         doubling — a handful over a run) instead of paying the worst-case
         budget every frame. Integration cost is dominated by the
-        per-voxel depth gather ([budget, 512] rows), so this bound is
-        the stage's cost knob."""
+        per-voxel depth strip fetch ([budget, 512] rows), so this bound
+        is the stage's cost knob."""
         n = max(int(self.map.n_blocks), 1)
         bucket = 1024
         while bucket < n:
             bucket *= 2
-        return min(bucket, self.budget)
+        return min(bucket, self.geom.capacity)
 
     def integration(self, frame: int) -> bool:
         if not (frame % self.config.integration_rate == 0 or frame <= 3):

@@ -66,3 +66,21 @@ def chunked_steps(body, carry, chunks: int, chunk_size: int, still_active):
         return lax.cond(still_active(c), run_chunk, lambda cc: cc, c)
 
     return lax.fori_loop(0, chunks, one_chunk, carry)
+
+
+def lane_select(row, lane):
+    """Select ``row[..., lane]`` per element with a log2 select tree.
+
+    ``row`` is [..., W] (W a power of two), ``lane`` int32 [...] in
+    [0, W). A gather here would hit the TPU serial per-element path;
+    the tree is log2(W) vectorized selects on halving widths, and it
+    compiles far faster than a one-hot multiply-reduce.
+    """
+    w = row.shape[-1]
+    assert w & (w - 1) == 0
+    while w > 1:
+        h = w // 2
+        hi = (lane & h) != 0
+        row = jax.numpy.where(hi[..., None], row[..., h:w], row[..., :h])
+        w = h
+    return row[..., 0]

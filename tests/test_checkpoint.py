@@ -16,7 +16,7 @@ def _cfg():
     return Configuration(volume_resolution=128, volume_size=2.0, mu=0.1,
                          camera=K, compute_size_ratio=1,
                          integration_rate=1, pyramid=(4, 3, 2),
-                         block_capacity=4096, active_budget=2048)
+                         block_capacity=4096)
 
 
 def test_resume_matches_uninterrupted(tmp_path):

@@ -34,7 +34,7 @@ def setup():
         room=((0.15,) * 3, (DIM - 0.15,) * 3))
     fn = functools.partial(
         pstep.frame_step, geom, field,
-        frame_size=(W, H), iterations=(3, 2), budget=32 * N_DEV,
+        frame_size=(W, H), iterations=(3, 2),
         mu=0.1, icp_threshold=1e-5, neg_y=False, filter_input=False,
         use_gt_pose=False, integration_rate=1, tracking_rate=1)
     return geom, field, depths, poses, fn
@@ -87,8 +87,7 @@ def test_fused_step_matches_class_pipeline(setup):
 
     cfg = Configuration(volume_resolution=64, volume_size=DIM, mu=0.1,
                         camera=K, compute_size_ratio=1, integration_rate=1,
-                        pyramid=(3, 2), block_capacity=64 * N_DEV,
-                        active_budget=32 * N_DEV)
+                        pyramid=(3, 2), block_capacity=64 * N_DEV)
     pipe = DenseSLAMSystem((W, H), cfg, init_pose=poses[0])
     for i, d in enumerate(depths):
         pipe.process_frame(d, i, is_mm=False)

@@ -23,7 +23,7 @@ def make_config(**kw):
     base = dict(volume_resolution=128, volume_size=2.0, mu=0.1,
                 camera=K, compute_size_ratio=1, integration_rate=1,
                 rendering_rate=1, pyramid=(4, 3, 2),
-                block_capacity=4096, active_budget=2048)
+                block_capacity=4096)
     base.update(kw)
     return Configuration(**base)
 

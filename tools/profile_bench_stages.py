@@ -41,7 +41,7 @@ def main():
     if os.environ.get("PROFILE_FULL_FRAME"):
         fn = functools.partial(
             pstep.frame_step, geom, field,
-            frame_size=(W, H), iterations=(10, 5, 4), budget=budget,
+            frame_size=(W, H), iterations=(10, 5, 4),
             mu=0.1, icp_threshold=1e-5, neg_y=False, filter_input=False,
             use_gt_pose=False, integration_rate=1, tracking_rate=1)
         print("warming (compiles frame_step; slow once)...",
@@ -68,8 +68,7 @@ def main():
             m_state = allocation.allocate_tsdf(geom, m_state, d, p, kj,
                                                0.1)
             m_state = integration.integrate(geom, m_state, field, d, p,
-                                            kj, 0.1, i / 30.0, (W, H),
-                                            budget)
+                                            kj, 0.1, i / 30.0, (W, H))
         jax.block_until_ready(m_state)
         state = state._replace(map=m_state,
                                pose=jnp.asarray(poses[4], jnp.float32),
@@ -110,7 +109,7 @@ def main():
 
     def integ(ms_, d, p, kk):
         return integration.integrate(geom, ms_, field, d, p, kk, 0.1, 0.2,
-                                     (W, H), budget)
+                                     (W, H))
     piece("integration", jax.jit(integ), state.map, depth, pose, kj)
 
     view = jnp.matmul(pose, se3.inverse_camera_matrix(kj),
@@ -119,31 +118,39 @@ def main():
                                                 0.1, (W, H)))
     piece("raycast", rc, state.map, view)
 
-    mb = jax.jit(functools.partial(raycast.build_march_mirror, geom,
-                                   field=field))
-    mirror = piece("mirror build", mb, state.map)
+    nv = jax.jit(functools.partial(raycast.build_nav, geom))
+    nav = piece("nav build", nv, state.map)
+    ms_fn = jax.jit(functools.partial(raycast.build_strips, geom,
+                                      field=field))
+    strips = piece("strips build", ms_fn, state.map)
 
     dxi, dyi, dzi = raycast.ray_directions_c(view, W, H)
     dx, dy, dz = dxi.reshape(-1), dyi.reshape(-1), dzi.reshape(-1)
     origin = view[:3, 3]
     tnear, tfar = raycast.ray_box_range_c(origin, dx, dy, dz, geom.dim)
-    mar = jax.jit(lambda ms_, o, a, b, c, tn, tf, mi: raycast._march(
-        geom, ms_, field, o, a, b, c, tn, tf, 0.1, geom.voxel_size,
-        geom.voxel_size * 8, 2 * geom.size, mirror=mi))
-    piece("march", mar, state.map, origin, dx, dy, dz, tnear, tfar,
-          mirror)
+    mar = jax.jit(lambda o, a, b, c, tn, tf, nv_, st_: raycast._march(
+        geom, state.map, field, o, a, b, c, tn, tf, 0.1, geom.voxel_size,
+        geom.voxel_size * 8, 2 * geom.size, nav=nv_, strips=st_))
+    piece("march (cold)", mar, origin, dx, dy, dz, tnear, tfar,
+          nav, strips)
+    prime = raycast.prime_from_depth(depth, kj)
+    marp = jax.jit(lambda o, a, b, c, tn, tf, nv_, st_, pt: raycast._march(
+        geom, state.map, field, o, a, b, c, tn, tf, 0.1, geom.voxel_size,
+        geom.voxel_size * 8, 2 * geom.size, nav=nv_, strips=st_,
+        prime_t=pt))
+    piece("march (primed)", marp, origin, dx, dy, dz, tnear, tfar,
+          nav, strips, prime)
 
-    sent = raycast._sentinel(field)
     hx = (origin[0] + dx * 2.0) * geom.inv_voxel_size
     hy = (origin[1] + dy * 2.0) * geom.inv_voxel_size
     hz = (origin[2] + dz * 2.0) * geom.inv_voxel_size
-    gr = jax.jit(functools.partial(raycast._grad_mirror, geom, sent=sent,
-                                   fill=1.0))
-    piece("grad", gr, mirror, px=hx, py=hy, pz=hz)
-    ip = jax.jit(functools.partial(raycast._interp_mirror, geom, sent=sent,
-                                   fill=1.0))
-    piece("interp x1", ip, mirror, px=hx, py=hy, pz=hz)
+    sent = raycast._sentinel(field)
+    ig = jax.jit(functools.partial(raycast._interp_grad, geom))
+    piece("interp+grad", ig, nav, strips, sent, 1.0, hx, hy, hz)
 
+    rcp = jax.jit(lambda ms_, v, pt: raycast.raycast(
+        geom, ms_, field, v, 0.1, (W, H), prime_t=pt))
+    piece("raycast primed", rcp, state.map, view, prime)
 
 if __name__ == "__main__":
     main()

@@ -61,7 +61,7 @@ def main():
 
     fn = functools.partial(
         pstep.frame_step, geom, field,
-        frame_size=(W, H), iterations=(10, 5, 4), budget=8192,
+        frame_size=(W, H), iterations=(10, 5, 4),
         mu=0.1, icp_threshold=1e-5, neg_y=False, filter_input=False,
         use_gt_pose=False, integration_rate=1, tracking_rate=1)
     state = pstep.init_frame_state(geom, field, (W, H), poses[0])

@@ -51,7 +51,7 @@ def main():
 
     fn = functools.partial(
         pstep.frame_step, geom, field,
-        frame_size=(W, H), iterations=(10, 5, 4), budget=budget,
+        frame_size=(W, H), iterations=(10, 5, 4),
         mu=0.1, icp_threshold=1e-5, neg_y=False, filter_input=False,
         use_gt_pose=False, integration_rate=1, tracking_rate=1)
 
@@ -94,7 +94,7 @@ def main():
     # ---- integration ----------------------------------------------------
     def integ(ms, d, p, kk):
         return integration.integrate(geom, ms, field, d, p, kk, 0.1, 0.2,
-                                     (W, H), budget)
+                                     (W, H))
     it_ = jax.jit(integ)
     t_it = timeit(it_, state.map, depth, pose, kj)
     print(f"integration          {t_it*1e3:8.2f} ms")

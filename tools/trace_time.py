@@ -15,6 +15,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# persistent XLA cache: dev tools recompile the same programs constantly
+from supereight_tpu.utils import compilecache  # noqa: E402
+compilecache.enable()
+
 _SKIP_PREFIX = ("$", "Pjit", "PJRT", "Parse", "Python", "jit_", "pmap",
                 "Xla", "Thunk", "copy", "infeed", "outfeed", "tuple")
 _SKIP_CATS = {"host"}
