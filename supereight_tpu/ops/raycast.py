@@ -48,8 +48,7 @@ import jax.numpy as jnp
 from supereight_tpu.constants import (BLOCK_SIDE, FAR_PLANE, INVALID,
                                       NEAR_PLANE, SURF_BOUNDARY)
 from supereight_tpu.core import se3
-from supereight_tpu.utils.loops import (bounded_steps, chunked_steps,
-                                        lane_select)
+from supereight_tpu.utils.loops import bounded_steps, lane_select
 
 MAX_JUMP = 6   # cap of the chebyshev block-distance transform
 
@@ -138,9 +137,10 @@ def build_strips(geom, state, field):
     cap = geom.capacity
     b = geom.blocks_per_side
     unk = _sentinel(field)
-    vals = jnp.where(state.data_y == 0, unk, state.data_x)
+    vals = jnp.where(state.data_y == 0, unk,
+                     state.data_x).astype(jnp.bfloat16)
     vals = jnp.concatenate(
-        [jnp.full((1, vals.shape[1]), unk, jnp.float32), vals])
+        [jnp.full((1, vals.shape[1]), unk, jnp.bfloat16), vals])
 
     # next-x brick slot per pool slot (edge / unallocated -> sentinel)
     bx = state.block_coord[:, 0] + 1
@@ -156,7 +156,7 @@ def build_strips(geom, state, field):
     left = vals.reshape(cap + 1, 64, 8)
     right = nvals.reshape(cap + 1, 64, 8)
     strips = jnp.concatenate([left, right], axis=-1)
-    return strips.astype(jnp.bfloat16).reshape(-1, 16)
+    return strips.reshape(-1, 16)
 
 
 def _cell_and_strip(geom, vx, vy, vz):
@@ -260,17 +260,20 @@ def _compact(n, budget, mask):
 # compaction cascades: (steps, live-fraction budget) per stage. Stage 0
 # runs on all rays; later stages on geometrically fewer stragglers, so
 # total gather rows stay bounded while long grazing rays still get
-# ~100+ steps (the reference's per-ray loop shape). The tail runs as
-# cond-skipped chunks inside a rolled loop (cheap to compile,
-# early-exits at chunk granularity, ~3.4x per-step penalty on small
-# straggler batches only). Budgets sized from measured live-ray decay
-# on the bench scene (tools/march_live_counts.py: primed live fraction
-# 19% after 6 steps, 1.3% after 16, zero by 48; cold 30% after 16,
-# 0.2% by 32). Live rays beyond a stage budget miss for the frame —
-# the budgets keep ~2x headroom over the measured counts.
-_CASCADE_PRIMED = ((6, 1.0), (10, 1.0 / 3.0), (32, 1.0 / 24.0))
-_CASCADE_COLD = ((16, 1.0), (16, 1.0 / 3.0), (32, 1.0 / 48.0))
-_TAIL_CHUNKS, _TAIL_CHUNK, _TAIL_FRAC = 8, 8, 1.0 / 48.0
+# ~100+ steps (the reference's per-ray loop shape). Every stage is
+# UNROLLED: a rolled cond-skipped tail was measured at ~0.4 ms per step
+# even with zero live rays (rolled-loop gathers pay a flat slow-path
+# cost — CLAUDE.md perf laws), 25 ms for an always-skipped tail, while
+# an unrolled 48-step straggler stage at 1/48 budget costs ~1 ms.
+# Budgets sized from measured live-ray decay on the bench scene
+# (tools/march_live_counts.py: primed live fraction 19% after 6 steps,
+# 1.3% after 16, zero by 48; cold 30% after 16, 0.2% by 32). Live rays
+# beyond a stage budget miss for the frame — the budgets keep ~2x
+# headroom over the measured counts.
+_CASCADE_PRIMED = ((6, 1.0), (10, 1.0 / 3.0), (32, 1.0 / 24.0),
+                   (48, 1.0 / 48.0))
+_CASCADE_COLD = ((16, 1.0), (16, 1.0 / 3.0), (32, 1.0 / 48.0),
+                 (48, 1.0 / 96.0))
 
 
 def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
@@ -318,7 +321,7 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
                            else (v0 <= SURF_BOUNDARY))
     status0 = jnp.where(go, 0, 2).astype(jnp.int32)
 
-    def stage(carry, dxx, dyy, dzz, tff, steps, chunks=None):
+    def stage(carry, dxx, dyy, dzz, tff, steps):
         def one(c):
             t, ss, f_t, f_tt, status = c
             mx, known, dist = _probe(
@@ -348,9 +351,7 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
             return t, ss, f_t, f_tt, status
 
         alive = lambda c: jnp.any(c[4] == 0)
-        if chunks is None:
-            return bounded_steps(one, carry, steps, alive)
-        return chunked_steps(one, carry, chunks, steps, alive)
+        return bounded_steps(one, carry, steps, alive)
 
     t = tnear + 0.0
     ss = jnp.full((n,), largestep if is_tsdf else step)
@@ -365,15 +366,14 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
                                      min(first_steps, max_steps))
     done_budget = first_steps
 
-    def substage(t, ss, f_t, f_tt, status, frac, steps, chunks=None):
+    def substage(t, ss, f_t, f_tt, status, frac, steps):
         budget = max(1024, int(n * frac))
         wl = _compact(n, budget, status == 0)
         wlc = jnp.maximum(wl, 0)
         sub_status = jnp.where(wl >= 0, 0, 2).astype(jnp.int32)
         sub = (t[wlc], ss[wlc], f_t[wlc], f_tt[wlc], sub_status)
         s_t, s_ss, s_ft, s_ftt, s_status = stage(
-            sub, dx[wlc], dy[wlc], dz[wlc], tfar[wlc], steps,
-            chunks=chunks)
+            sub, dx[wlc], dy[wlc], dz[wlc], tfar[wlc], steps)
 
         def put(full, vals):
             return full.at[jnp.where(wl >= 0, wl, n)].set(vals, mode="drop")
@@ -389,12 +389,6 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
             min(steps, max_steps - done_budget))
         done_budget += steps
 
-    if done_budget < max_steps:
-        chunks = min(_TAIL_CHUNKS,
-                     -(-(max_steps - done_budget) // _TAIL_CHUNK))
-        t, ss, f_t, f_tt, status = substage(
-            t, ss, f_t, f_tt, status, _TAIL_FRAC, _TAIL_CHUNK,
-            chunks=chunks)
     # rays still marching after the cascade (beyond-budget overflow) miss
 
     hit = status == 1
