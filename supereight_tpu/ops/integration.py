@@ -9,11 +9,12 @@ TPU design: the active list is a fixed-budget compaction (prefix sum over
 the slot mask, like the reference's parallel filter,
 algorithms/filter.hpp:61-107); the per-block 8x8x8 voxel update is a
 single batched program of shape [budget, 512] (maps onto the VPU). The
-stage cost is the per-voxel depth fetch: TPU gathers are SERIAL per
-gathered row (~7 ns — CLAUDE.md perf laws), so the fetch reads 8-pixel
-STRIPS (~3.4 ns/row) and lane-selects the exact pixel with vector ops,
-halving the dominant term while keeping the reference's exact
-nearest-neighbour depth sample. The node pass is a dense update over
+stage cost is the per-voxel depth fetch, done as 8-pixel STRIP rows +
+a log2 lane-select tree: measured IN-PROGRAM (fusion context changes
+gather emitter choices) the strip form runs the full stage at ~10 ms
+vs ~33 ms for a flat element gather, even though standalone piece
+timings order the other way (tools/profile_integration.py).
+The node pass is a dense update over
 each mip level gated by mip_alloc. Coordinates are carried as separate
 x/y/z arrays of shape [budget, 512] (large minor dim; no [..., 3]
 stacking — see se3.transform_c).
@@ -93,10 +94,9 @@ def _sample_depth(depth, px, py):
     """Nearest-neighbour depth fetch at truncated pixel coords
     (ref sdf_update/bfusion_update: depth[int(pixel)]).
 
-    Gather cost on TPU is per ROW: fetch the 8-pixel strip containing the
-    pixel (image width is padded to a multiple of 8) and lane-select the
-    exact sample — same result as an element gather at ~half the cost.
-    """
+    8-pixel strip row fetch + log2 lane-select tree — measured fastest
+    IN the full integrate program (see module docstring); exact same
+    sample as an element gather."""
     h, w = depth.shape
     xi = jnp.clip(px.astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(py.astype(jnp.int32), 0, h - 1)

@@ -270,7 +270,7 @@ def _compact(n, budget, mask):
 # 1.3% after 16, zero by 48; cold 30% after 16, 0.2% by 32). Live rays
 # beyond a stage budget miss for the frame — the budgets keep ~2x
 # headroom over the measured counts.
-_CASCADE_PRIMED = ((6, 1.0), (10, 1.0 / 3.0), (32, 1.0 / 24.0),
+_CASCADE_PRIMED = ((4, 1.0), (12, 1.0 / 4.0), (32, 1.0 / 24.0),
                    (48, 1.0 / 48.0))
 _CASCADE_COLD = ((16, 1.0), (16, 1.0 / 3.0), (32, 1.0 / 48.0),
                  (48, 1.0 / 96.0))
@@ -308,14 +308,35 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     fill = 1.0 if is_tsdf else 0.0
 
     if prime_t is not None:
-        backoff = (2.0 if is_tsdf else 6.0) * mu + 2.0 * geom.voxel_size
-        tnear = jnp.where(prime_t > 0,
-                          jnp.maximum(tnear, prime_t - backoff), tnear)
-
-    f0, known0, _ = _probe(geom, nav, strips, unk,
-                           origin[0] + dx * tnear,
-                           origin[1] + dy * tnear,
-                           origin[2] + dz * tnear)
+        # two-phase primed start: try a TIGHT backoff first (fused
+        # surface sits within pose-error + fusion lag of the depth
+        # sample); rays whose tight start is not in known positive
+        # space fall back to a full-truncation-band backoff. Both are
+        # resolved by the same initial probe — one extra gather total.
+        big = (2.0 if is_tsdf else 6.0) * mu + 2.0 * geom.voxel_size
+        small = 0.5 * mu + 2.0 * geom.voxel_size
+        t_tight = jnp.where(prime_t > 0,
+                            jnp.maximum(tnear, prime_t - small), tnear)
+        ft, kt, _ = _probe(geom, nav, strips, unk,
+                           origin[0] + dx * t_tight,
+                           origin[1] + dy * t_tight,
+                           origin[2] + dz * t_tight)
+        ok_tight = kt & ((ft > 0) if is_tsdf else (ft <= SURF_BOUNDARY))
+        tnear = jnp.where(ok_tight, t_tight,
+                          jnp.where(prime_t > 0,
+                                    jnp.maximum(tnear, prime_t - big),
+                                    tnear))
+        # the tight probe doubles as the start-state check for the
+        # rays it validated; fallback rays re-check below
+        f0, known0, _ = _probe(geom, nav, strips, unk,
+                               origin[0] + dx * tnear,
+                               origin[1] + dy * tnear,
+                               origin[2] + dz * tnear)
+    else:
+        f0, known0, _ = _probe(geom, nav, strips, unk,
+                               origin[0] + dx * tnear,
+                               origin[1] + dy * tnear,
+                               origin[2] + dz * tnear)
     v0 = jnp.where(known0, f0, fill)
     go = (tnear < tfar) & ((v0 > 0) if is_tsdf
                            else (v0 <= SURF_BOUNDARY))
