@@ -63,7 +63,11 @@ def main():
         pstep.frame_step, geom, field,
         frame_size=(W, H), iterations=(10, 5, 4),
         mu=0.1, icp_threshold=1e-5, neg_y=False, filter_input=False,
-        use_gt_pose=False, integration_rate=1, tracking_rate=1)
+        use_gt_pose=False, integration_rate=1, tracking_rate=1,
+        # static worklist bucket covering this scene's ~7.6k blocks
+        # (integration_budget would pick the same 8192 bucket; fixed here
+        # so the timing loop never recompiles mid-run)
+        budget=pstep.integration_budget(geom, 8192))
 
     state = pstep.init_frame_state(geom, field, (W, H), poses[0])
     kj = jnp.asarray(k, jnp.float32)
@@ -89,9 +93,11 @@ def main():
     n_blocks = int(state.map.n_blocks)
     pos_err = float(np.linalg.norm(
         np.asarray(state.pose)[:3, 3] - poses[N_WARMUP + N_FRAMES - 1][:3, 3]))
+    drops = {k: int(aux[k]) for k in
+             ("alloc_overflow", "blocks_truncated", "ray_overflow")}
     print(f"# {N_FRAMES} frames in {dt:.3f}s, blocks={n_blocks}, "
-          f"tracked={tracked}, final pos err={pos_err:.4f} m",
-          file=sys.stderr)
+          f"tracked={tracked}, final pos err={pos_err:.4f} m, "
+          f"drops={drops}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "frames_per_sec_chip_traj2cfg_c2_512v_tsdf_icp",

@@ -64,7 +64,19 @@ def main(argv=None):
                         help="write estimated trajectory (TUM format)")
     parser.add_argument("--groundtruth-mode", action="store_true",
                         help="bypass tracking, use ground-truth poses")
+    parser.add_argument("--dump-renders", type=str, default="",
+                        help="directory for 2x2 composite snapshots at "
+                             "every render (viewer.composite_views)")
+    parser.add_argument("--keyframe-rate", type=int, default=0,
+                        help="enable windowed pose-graph BA: a keyframe "
+                             "every N frames (0 = off)")
+    parser.add_argument("--ba-window", type=int, default=32)
+    parser.add_argument("--ba-every", type=int, default=4,
+                        help="optimize the window every N keyframes")
     args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     cfg = config_from_args(args)
 
     gt_poses = None
@@ -103,6 +115,10 @@ def main(argv=None):
             init_pose = gt_poses[0]
 
     pipe = DenseSLAMSystem(input_size, cfg, init_pose=init_pose)
+    if args.keyframe_rate:
+        pipe.enable_keyframes(every=args.keyframe_rate,
+                              window=args.ba_window,
+                              ba_every=args.ba_every)
     stats = PerfStats()
     out = sys.stdout
     log = open(cfg.log_file, "w") if cfg.log_file else out
@@ -146,7 +162,27 @@ def main(argv=None):
         pipe.raycasting(frame)
         np.asarray(pipe.valid)
         t_ray = time.perf_counter()
+
+        # render views every rendering_rate frames (ref benchmark.cpp's
+        # loop renders depth/track/volume each rendering_rate,
+        # mainQt.cpp:201-313; timed into the `rendering` log column)
+        if cfg.rendering_rate > 0 and frame % cfg.rendering_rate == 0 \
+                and frame > 2:
+            views = {"depth": pipe.render_depth(),
+                     "track": pipe.render_track(),
+                     "volume": pipe.render_volume()}
+            if args.dump_renders:
+                import os
+                from supereight_tpu import viewer
+                os.makedirs(args.dump_renders, exist_ok=True)
+                viewer.write_ppm(
+                    os.path.join(args.dump_renders, f"frame{frame:05d}.ppm"),
+                    viewer.composite_views(
+                        views["depth"], views["track"], views["volume"]))
         t_render = time.perf_counter()
+
+        for name, v in pipe.stats.items():
+            stats.sample(name, float(v), StatType.COUNT)
 
         pos = pipe.get_position()
         row = (f"{frame}\t{t_acq - t0:.6f}\t{t_pre - t_acq:.6f}\t"
@@ -158,7 +194,9 @@ def main(argv=None):
         print(row, file=log)
         stats.sample("computation", t_ray - t_pre, StatType.TIME)
 
-        P = pipe.get_pose()
+        # BA corrections (identity when keyframes are off) apply to the
+        # published trajectory
+        P = pipe.trajectory_correction @ pipe.get_pose()
         q = rotation_to_quaternion(P[:3, :3])
         est_traj.append((frame / 30.0, *P[:3, 3], *q))
         frame += 1
@@ -166,6 +204,12 @@ def main(argv=None):
     wall = time.perf_counter() - t_start
     fps = frame / wall if wall > 0 else 0.0
     print(f"# frames={frame} wall={wall:.2f}s fps={fps:.2f}", file=sys.stderr)
+    drops = {n: int(stats.sum(n)) for n in
+             ("alloc_overflow", "blocks_truncated", "ray_overflow")
+             if stats.has(n)}
+    if drops:
+        print("# drop counters (should be 0; nonzero = budgets too small "
+              f"for this scene): {drops}", file=sys.stderr)
 
     if args.trajectory_out:
         with open(args.trajectory_out, "w") as f:

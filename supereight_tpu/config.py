@@ -36,6 +36,12 @@ class Configuration:
     # field type: "tsdf" | "ofusion"
     field: str = "tsdf"
 
+    # fuse with bilinear inverse-depth filtering instead of
+    # nearest-neighbour (the reference DEFINES interpDepth,
+    # bfusion/mapping_impl.hpp:41-92, but its update functors read
+    # depth[int(pixel)] — nearest is the parity default)
+    depth_interp: bool = False
+
     # io
     input_file: str = ""
     log_file: str = ""
@@ -84,8 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", "--groundtruth", type=str, default="")
     p.add_argument("--block-capacity", type=int, default=None)
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--depth-interp", action="store_true",
+                   help="bilinear inverse-depth fusion sampling "
+                        "(reference interpDepth; off = reference parity)")
     p.add_argument("--platform", type=str, default=None,
-                   help="force jax platform (cpu/axon/tpu)")
+                   help="force jax platform (cpu/axon/tpu); honored via "
+                        "jax.config at startup (cli.py)")
     return p
 
 
@@ -109,6 +119,7 @@ def config_from_args(args) -> Configuration:
         filter_input=args.bilateral_filter,
         camera=cam,
         field=args.field,
+        depth_interp=args.depth_interp,
         input_file=args.input_file,
         log_file=args.log_file,
         dump_volume_file=args.dump_volume,

@@ -13,12 +13,13 @@ updates.
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 from supereight_tpu.constants import BLOCK_SIDE, BLOCK_VOXELS
 from supereight_tpu.core.map import MapState
 
-_LIN = jnp.arange(BLOCK_VOXELS, dtype=jnp.int32)
-_LOCAL = jnp.stack([_LIN % 8, (_LIN // 8) % 8, _LIN // 64], axis=-1)
+_LIN = np.arange(BLOCK_VOXELS, dtype=np.int32)
+_LOCAL = np.stack([_LIN % 8, (_LIN // 8) % 8, _LIN // 64], axis=-1)
 
 
 def axis_aligned_map(geom, state: MapState, fn, bbox_min=None,

@@ -19,6 +19,7 @@ wrappers are kept for the cold callers (volume facade, tests).
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 from supereight_tpu.core import map as m
 
@@ -74,9 +75,9 @@ _GRAD_SAMPLES = [(i, j, kk) for i in range(4) for j in range(4)
                  for kk in range(4)
                  if sum(1 for v in (i, j, kk) if v in (0, 3)) <= 1]
 _GRAD_ID = {s: n for n, s in enumerate(_GRAD_SAMPLES)}
-_GRAD_IX = jnp.asarray([s[0] for s in _GRAD_SAMPLES])
-_GRAD_IY = jnp.asarray([s[1] for s in _GRAD_SAMPLES])
-_GRAD_IZ = jnp.asarray([s[2] for s in _GRAD_SAMPLES])
+_GRAD_IX = np.asarray([s[0] for s in _GRAD_SAMPLES])
+_GRAD_IY = np.asarray([s[1] for s in _GRAD_SAMPLES])
+_GRAD_IZ = np.asarray([s[2] for s in _GRAD_SAMPLES])
 
 
 def grad_c(geom, state, field, px, py, pz, channel=0):

@@ -271,7 +271,7 @@ ALLOC_BUDGET = 8192
 
 
 def allocate_blocks(geom: MapGeometry, state: MapState,
-                    touched: jnp.ndarray) -> MapState:
+                    touched: jnp.ndarray, with_stats: bool = False):
     """Allocate every block whose bit is set in the dense [B,B,B] mask.
 
     The reference funnels per-pixel candidate keys through an atomic list,
@@ -325,7 +325,15 @@ def allocate_blocks(geom: MapGeometry, state: MapState,
 
     state = state._replace(block_coord=block_coord, active=active,
                            slot=slot, n_blocks=n_blocks)
-    return refresh_mip_alloc(geom, state, slot >= 0)
+    state = refresh_mip_alloc(geom, state, slot >= 0)
+    if with_stats:
+        # candidates beyond ALLOC_BUDGET or pool capacity stay
+        # unallocated this frame (re-touched later while observed); the
+        # count makes the deviation from the reference's allocate-all
+        # (octree.hpp:792-817) observable (ADVICE r2).
+        overflow = jnp.sum(flat_new.astype(jnp.int32)) - n_new
+        return state, {"alloc_overflow": overflow}
+    return state
 
 
 def refresh_mip_alloc(geom: MapGeometry, state: MapState,

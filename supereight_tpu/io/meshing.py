@@ -17,93 +17,132 @@ import numpy as np
 from supereight_tpu.constants import BLOCK_SIDE
 from supereight_tpu.io.mc_tables import (CORNER_OFFSETS, TRI_TABLE)
 
+# blocks per chunk of the block-sparse pass: peak working set is
+# ~2 x 8 x chunk x 512 f32 corner arrays ≈ 130 MB
+_MESH_CHUNK = 4096
 
-def _dense_from_blocks(geom, state):
-    """Expand the allocated bricks into a dense (size^3) pair of arrays.
+_HALO_NEIGHBOURS = ((1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0),
+                    (1, 0, 1), (0, 1, 1), (1, 1, 1))
 
-    Practical for the resolutions the reference ships (<= 512^3 ~ 1 GB);
-    avoids per-cell pool lookups in the host path.
-    """
+
+def _padded_blocks(geom, state, fill_x):
+    """[n, 9, 9, 9] x/y arrays: each allocated brick plus a +1 halo from
+    its +x/+y/+z neighbour bricks (the reference's per-block pass walks
+    the same 1-voxel overlap via octree fetches, meshing.hpp:159-208).
+    Unallocated / out-of-map halo reads the init fill (y = 0 there, so
+    those cells are skipped by the observed gate like the reference's
+    empty fetches)."""
     n = int(state.n_blocks)
-    size = geom.size
-    dense_x = np.full((size, size, size), np.float32(1.0))
-    dense_y = np.zeros((size, size, size), np.float32)
-    bx = np.asarray(state.data_x[:n]).reshape(n, BLOCK_SIDE, BLOCK_SIDE,
-                                              BLOCK_SIDE)
-    by = np.asarray(state.data_y[:n]).reshape(n, BLOCK_SIDE, BLOCK_SIDE,
-                                              BLOCK_SIDE)
+    bs = BLOCK_SIDE
+    b = geom.blocks_per_side
     # brick linear layout is x + 8y + 64z -> axes come out (z, y, x)
-    bx = bx.transpose(0, 3, 2, 1)
-    by = by.transpose(0, 3, 2, 1)
-    coords = np.asarray(state.block_coord[:n]) * BLOCK_SIDE
-    for i in range(n):
-        x, y, z = coords[i]
-        dense_x[x:x + 8, y:y + 8, z:z + 8] = bx[i]
-        dense_y[x:x + 8, y:y + 8, z:z + 8] = by[i]
-    return dense_x, dense_y
+    x = np.asarray(state.data_x[:n]).reshape(n, bs, bs, bs)
+    x = x.transpose(0, 3, 2, 1)
+    y = np.asarray(state.data_y[:n]).reshape(n, bs, bs, bs)
+    y = y.transpose(0, 3, 2, 1)
+    px = np.full((n, bs + 1, bs + 1, bs + 1), fill_x, np.float32)
+    py = np.zeros((n, bs + 1, bs + 1, bs + 1), np.float32)
+    px[:, :bs, :bs, :bs] = x
+    py[:, :bs, :bs, :bs] = y
+    slot = np.asarray(state.slot)
+    coords = np.asarray(state.block_coord[:n])
+    for (ox, oy, oz) in _HALO_NEIGHBOURS:
+        nc = coords + np.asarray((ox, oy, oz))
+        inb = (nc < b).all(axis=1)
+        ncc = np.clip(nc, 0, b - 1)
+        ns = slot[ncc[:, 0], ncc[:, 1], ncc[:, 2]]
+        ok = inb & (ns >= 0) & (ns < n)
+        idx = np.nonzero(ok)[0]
+        if len(idx) == 0:
+            continue
+        nsl = ns[idx]
+        sl = tuple(slice(0, 1) if o else slice(0, bs)
+                   for o in (ox, oy, oz))
+        dst = tuple(slice(bs, bs + 1) if o else slice(0, bs)
+                    for o in (ox, oy, oz))
+        px[(idx,) + dst] = x[nsl][(slice(None),) + sl]
+        py[(idx,) + dst] = y[nsl][(slice(None),) + sl]
+    return px, py
 
 
 def marching_cubes(geom, state, inside=None):
     """Extract the zero-crossing surface as triangles [N, 3, 3] (meters).
 
-    ``inside``: predicate on the x channel (default x < 0, the reference's
-    dump_mesh lambda, DenseSLAMSystem.cpp:305-314).
+    BLOCK-SPARSE (ref per-block marching_cube, meshing.hpp:159-208):
+    processes only allocated bricks (+1-voxel halo), in chunks, so a
+    512^3 map meshes without a dense size^3 intermediate. ``inside``:
+    predicate on the x channel (default x < 0, the reference's dump_mesh
+    lambda, DenseSLAMSystem.cpp:305-314).
     """
-    dense_x, dense_y = _dense_from_blocks(geom, state)
-    size = geom.size
+    n = int(state.n_blocks)
+    if n == 0:
+        return np.zeros((0, 3, 3), np.float32)
     if inside is None:
         def inside(x):
             return x < 0.0
-
-    # corner values for every cell, vectorized
-    cx = np.empty((8,) + (size - 1,) * 3, np.float32)
-    cy = np.empty_like(cx)
-    for c, (dx, dy, dz) in enumerate(CORNER_OFFSETS):
-        cx[c] = dense_x[dx:size - 1 + dx, dy:size - 1 + dy,
-                        dz:size - 1 + dz]
-        cy[c] = dense_y[dx:size - 1 + dx, dy:size - 1 + dy,
-                        dz:size - 1 + dz]
-
-    occupied = inside(cx)
-    index = np.zeros((size - 1,) * 3, np.int32)
-    for c in range(8):
-        index |= occupied[c].astype(np.int32) << c
-    observed = (cy != 0).all(axis=0)   # ref meshing.hpp:131-138
-    cells = np.argwhere((index != 0) & (index != 255) & observed)
-    if len(cells) == 0:
-        return np.zeros((0, 3, 3), np.float32)
-
-    ci = index[cells[:, 0], cells[:, 1], cells[:, 2]]
-    tris_edges = TRI_TABLE[ci]                  # [M, 16]
-
-    # zero-crossing vertex on each of the 12 edges of each cell
-    # (ref interp_vertexes / compute_intersection, meshing.hpp:45-113)
-    corner_vals = cx[:, cells[:, 0], cells[:, 1], cells[:, 2]]  # [8, M]
-    edge_verts = np.zeros((12, len(cells), 3), np.float32)
-    from supereight_tpu.io.mc_tables import CORNER_A, CORNER_B
-    cell_pos = cells.astype(np.float32)
-    for e in range(12):
-        a, b = CORNER_A[e], CORNER_B[e]
-        va = corner_vals[a]
-        vb = corner_vals[b]
-        denom = vb - va
-        tpar = np.where(np.abs(denom) < 1e-12, 0.5, -va / np.where(
-            np.abs(denom) < 1e-12, 1.0, denom))
-        tpar = np.clip(tpar, 0.0, 1.0)
-        pa = cell_pos + CORNER_OFFSETS[a]
-        pb = cell_pos + CORNER_OFFSETS[b]
-        edge_verts[e] = pa + tpar[:, None] * (pb - pa)
+    bs = BLOCK_SIDE
+    px, py = _padded_blocks(geom, state, fill_x=1.0)
+    origins = np.asarray(state.block_coord[:n]) * bs     # [n, 3]
 
     out = []
-    for t in range(5):
-        cols = tris_edges[:, 3 * t:3 * t + 3]
-        valid = cols[:, 0] >= 0
-        if not valid.any():
-            break
-        rows = np.nonzero(valid)[0]
-        tri = np.stack([edge_verts[cols[rows, k], rows] for k in range(3)],
-                       axis=1)
-        out.append(tri)
+    for lo in range(0, n, _MESH_CHUNK):
+        hi = min(lo + _MESH_CHUNK, n)
+        m = hi - lo
+        # corner values for every cell of every brick in the chunk
+        cx = np.empty((8, m, bs, bs, bs), np.float32)
+        cy = np.empty_like(cx)
+        for c, (dx, dy, dz) in enumerate(CORNER_OFFSETS):
+            cx[c] = px[lo:hi, dx:bs + dx, dy:bs + dy, dz:bs + dz]
+            cy[c] = py[lo:hi, dx:bs + dx, dy:bs + dy, dz:bs + dz]
+        cx = cx.reshape(8, -1)
+        cy = cy.reshape(8, -1)
+
+        occupied = inside(cx)
+        index = np.zeros(cx.shape[1], np.int32)
+        for c in range(8):
+            index |= occupied[c].astype(np.int32) << c
+        observed = (cy != 0).all(axis=0)   # ref meshing.hpp:131-138
+        sel = np.nonzero((index != 0) & (index != 255) & observed)[0]
+        if len(sel) == 0:
+            continue
+
+        # global voxel position of each selected cell
+        block_i, local = np.divmod(sel, bs ** 3)
+        lx, r = np.divmod(local, bs * bs)
+        ly, lz = np.divmod(r, bs)
+        cell_pos = (origins[lo + block_i]
+                    + np.stack([lx, ly, lz], axis=1)).astype(np.float32)
+
+        tris_edges = TRI_TABLE[index[sel]]                # [M, 16]
+        corner_vals = cx[:, sel]                          # [8, M]
+
+        # zero-crossing vertex on each of the 12 edges of each cell
+        # (ref interp_vertexes / compute_intersection, meshing.hpp:45-113)
+        edge_verts = np.zeros((12, len(sel), 3), np.float32)
+        from supereight_tpu.io.mc_tables import CORNER_A, CORNER_B
+        for e in range(12):
+            a, b = CORNER_A[e], CORNER_B[e]
+            va = corner_vals[a]
+            vb = corner_vals[b]
+            denom = vb - va
+            tpar = np.where(np.abs(denom) < 1e-12, 0.5, -va / np.where(
+                np.abs(denom) < 1e-12, 1.0, denom))
+            tpar = np.clip(tpar, 0.0, 1.0)
+            pa = cell_pos + CORNER_OFFSETS[a]
+            pb = cell_pos + CORNER_OFFSETS[b]
+            edge_verts[e] = pa + tpar[:, None] * (pb - pa)
+
+        for t in range(5):
+            cols = tris_edges[:, 3 * t:3 * t + 3]
+            valid = cols[:, 0] >= 0
+            if not valid.any():
+                break
+            rows = np.nonzero(valid)[0]
+            tri = np.stack([edge_verts[cols[rows, k], rows]
+                            for k in range(3)], axis=1)
+            out.append(tri)
+    if not out:
+        return np.zeros((0, 3, 3), np.float32)
     tris = np.concatenate(out, axis=0)
     return tris * geom.voxel_size
 

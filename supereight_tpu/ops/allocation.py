@@ -182,15 +182,19 @@ def ofusion_touched_masks(geom, depth, pose, k, mu: float,
     return masks[0], tuple(extra)
 
 
-def allocate_tsdf(geom, state, depth, pose, k, mu: float):
+def allocate_tsdf(geom, state, depth, pose, k, mu: float,
+                  with_stats: bool = False):
     """Full TSDF allocation step: band march -> block pool update."""
     touched = tsdf_touched_mask(geom, depth, pose, k, mu)
-    return m.allocate_blocks(geom, state, touched)
+    return m.allocate_blocks(geom, state, touched, with_stats=with_stats)
 
 
-def allocate_ofusion(geom, state, depth, pose, k, mu: float):
+def allocate_ofusion(geom, state, depth, pose, k, mu: float,
+                     with_stats: bool = False):
     """Full occupancy allocation step: multi-scale march -> pool + mips."""
     touched, extra = ofusion_touched_masks(geom, depth, pose, k, mu)
-    state = m.allocate_blocks(geom, state, touched)
-    return m.refresh_mip_alloc(geom, state, state.slot >= 0,
-                               extra_levels=extra)
+    out = m.allocate_blocks(geom, state, touched, with_stats=with_stats)
+    state, stats = out if with_stats else (out, None)
+    state = m.refresh_mip_alloc(geom, state, state.slot >= 0,
+                                extra_levels=extra)
+    return (state, stats) if with_stats else state

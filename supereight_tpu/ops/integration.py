@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from supereight_tpu.constants import BLOCK_SIDE, BLOCK_VOXELS
 from supereight_tpu.core import se3
@@ -32,7 +33,9 @@ from supereight_tpu.fields import tsdf as tsdf_field
 from supereight_tpu.fields import ofusion as ofusion_field
 
 # local voxel offsets in brick-linear order (x + 8y + 64z)
-_LIN = jnp.arange(BLOCK_VOXELS, dtype=jnp.int32)
+# numpy constants: creating jnp arrays at import would initialize the
+# default backend before the CLI can honor --platform (cli.py)
+_LIN = np.arange(BLOCK_VOXELS, dtype=np.int32)
 _LOCAL_X = _LIN % 8
 _LOCAL_Y = (_LIN // 8) % 8
 _LOCAL_Z = _LIN // 64
@@ -58,8 +61,8 @@ def build_active_worklist(geom, state, t_cw, k, frame_size, budget: int):
     """Fixed-budget compaction of active ∩ in-frustum slots
     (ref build_active_list, projective_functor.hpp:54-71).
 
-    Returns i32[budget] slot ids; empty entries = capacity (dropped on
-    scatter)."""
+    Returns (i32[budget] slot ids — empty entries = capacity, dropped on
+    scatter —, total active∧in-frustum count for overflow accounting)."""
     cap = geom.capacity
     slot_ids = jnp.arange(cap, dtype=jnp.int32)
     allocated = slot_ids < state.n_blocks
@@ -68,7 +71,8 @@ def build_active_worklist(geom, state, t_cw, k, frame_size, budget: int):
     order = jnp.cumsum(mask.astype(jnp.int32)) - 1
     dest = jnp.where(mask & (order < budget), order, budget)
     worklist = jnp.full((budget,), cap, jnp.int32)
-    return worklist.at[dest].set(slot_ids, mode="drop")
+    return (worklist.at[dest].set(slot_ids, mode="drop"),
+            jnp.sum(mask.astype(jnp.int32)))
 
 
 def _project_voxels_c(geom, wx, wy, wz, t_cw, k, frame_size):
@@ -92,7 +96,10 @@ def _project_voxels_c(geom, wx, wy, wz, t_cw, k, frame_size):
 
 def _sample_depth(depth, px, py):
     """Nearest-neighbour depth fetch at truncated pixel coords
-    (ref sdf_update/bfusion_update: depth[int(pixel)]).
+    (ref sdf_update AND bfusion_update both read depth[int(pixel)] —
+    kfusion/mapping_impl.hpp:39-41, bfusion/mapping_impl.hpp:163-164;
+    the bilinear interpDepth at bfusion/mapping_impl.hpp:41-92 is
+    defined but never called in the reference).
 
     8-pixel strip row fetch + log2 lane-select tree — measured fastest
     IN the full integrate program (see module docstring); exact same
@@ -108,6 +115,63 @@ def _sample_depth(depth, px, py):
     return lane_select(row, xi & 7)
 
 
+def _depth_strips16(depth):
+    """[h*ws, 16] rows: 8 pixels of a strip + the 8 of the next strip,
+    so an (x, x+1) bilinear pair is one row fetch (same trick as
+    raycast.build_strips)."""
+    h, w = depth.shape
+    ws = (w + 7) // 8
+    if w % 8:
+        depth = jnp.pad(depth, ((0, 0), (0, ws * 8 - w)))
+    left = depth.reshape(h, ws, 8)
+    right = jnp.concatenate([left[:, 1:], jnp.zeros((h, 1, 8))], axis=1)
+    return jnp.concatenate([left, right], axis=-1).reshape(h * ws, 16)
+
+
+def _sample_depth_bilinear(depth, px, py):
+    """Bilinear depth filtering in inverse-depth space — the reference's
+    interpDepth (bfusion/mapping_impl.hpp:41-92), offered as an OPT-IN
+    (``Configuration.depth_interp``): the reference defines it but its
+    bfusion_update functor actually samples nearest-neighbour
+    (mapping_impl.hpp:163-164), so nearest is the parity default.
+
+    Semantics kept: inverse-depth bilinear over the 2x2 neighbourhood;
+    0 if any neighbour is missing; nearest-neighbour fallback when the
+    filtered value disagrees with any neighbour by > 5 cm.
+
+    TPU form: two 16-lane strip rows (y0, y1) supply all four corners.
+    """
+    h, w = depth.shape
+    ws = (w + 7) // 8
+    strips = _depth_strips16(depth)
+    x0f = jnp.floor(px - 0.5)
+    y0f = jnp.floor(py - 0.5)
+    fx = (px - 0.5) - x0f
+    fy = (py - 0.5) - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 2)
+    lane = x0 & 7
+    row0 = strips[y0 * ws + (x0 >> 3)]
+    row1 = strips[(y0 + 1) * ws + (x0 >> 3)]
+    d00 = lane_select(row0, lane)
+    d10 = lane_select(row0, lane + 1)
+    d01 = lane_select(row1, lane)
+    d11 = lane_select(row1, lane + 1)
+    any_zero = (d00 == 0) | (d10 == 0) | (d01 == 0) | (d11 == 0)
+    safe = lambda d: jnp.where(d == 0, 1.0, d)
+    inv = ((1.0 / safe(d00)) * (1 - fx) * (1 - fy)
+           + (1.0 / safe(d10)) * fx * (1 - fy)
+           + (1.0 / safe(d01)) * (1 - fx) * fy
+           + (1.0 / safe(d11)) * fx * fy)
+    d = 1.0 / inv
+    thr = 0.05
+    consistent = ((jnp.abs(d - d00) < thr) & (jnp.abs(d - d10) < thr)
+                  & (jnp.abs(d - d01) < thr) & (jnp.abs(d - d11) < thr))
+    nearest = _sample_depth(depth, px, py)
+    out = jnp.where(consistent, d, nearest)
+    return jnp.where(any_zero, 0.0, out)
+
+
 def _field_update(field, old_x, old_y, pos_cam, depth_sample, valid, *,
                   mu, timestamp, voxel_size):
     if field.name == "tsdf":
@@ -118,14 +182,23 @@ def _field_update(field, old_x, old_y, pos_cam, depth_sample, valid, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("geom", "field", "frame_size", "budget"))
+                   static_argnames=("geom", "field", "frame_size", "budget",
+                                    "depth_interp", "with_stats"))
 def integrate(geom, state, field, depth, pose, k, mu, timestamp,
-              frame_size, budget: int = 8192):
+              frame_size, budget: int = 8192, depth_interp: bool = False,
+              with_stats: bool = False):
     """One fusion pass: block update + node (mip) update
     (ref projective_functor::apply, projective_functor.hpp:139-156).
 
     ``pose`` is camera-to-world; the functor uses its inverse (ref
-    DenseSLAMSystem.cpp:237). Returns the new map state.
+    DenseSLAMSystem.cpp:237). Returns the new map state, plus a stats
+    dict when ``with_stats`` (``blocks_truncated``: active∧in-frustum
+    blocks beyond ``budget`` that skipped fusion this frame — the
+    reference updates every active block, projective_functor.hpp:139-156,
+    so a nonzero count means ``budget`` must be raised).
+
+    ``depth_interp`` switches the fusion depth sample to the bilinear
+    inverse-depth filter (see :func:`_sample_depth_bilinear`).
     """
     t_cw = se3.inverse(pose)
     K = se3.camera_matrix(k)
@@ -137,7 +210,8 @@ def integrate(geom, state, field, depth, pose, k, mu, timestamp,
     # build_active_list, projective_functor.hpp:54-71): the strip fetch
     # below costs per gathered ROW, so bounding rows to [budget, 512]
     # is the stage's cost knob.
-    wl = build_active_worklist(geom, state, t_cw, K, frame_size, budget)
+    wl, n_active = build_active_worklist(geom, state, t_cw, K, frame_size,
+                                         budget)
     present = wl < cap
     slots = jnp.minimum(wl, cap - 1)
 
@@ -149,7 +223,10 @@ def integrate(geom, state, field, depth, pose, k, mu, timestamp,
     (cx, cy, cz), px, py, valid = _project_voxels_c(geom, wx, wy, wz, t_cw,
                                                     K, frame_size)
     valid = valid & present[:, None]
-    depth_sample = _sample_depth(depth, px, py)
+    if depth_interp:
+        depth_sample = _sample_depth_bilinear(depth, px, py)
+    else:
+        depth_sample = _sample_depth(depth, px, py)
 
     old_x = state.data_x[slots]
     old_y = state.data_y[slots]
@@ -191,4 +268,8 @@ def integrate(geom, state, field, depth, pose, k, mu, timestamp,
         new_mips_x.append(nx)
         new_mips_y.append(ny)
 
-    return state._replace(mip_x=tuple(new_mips_x), mip_y=tuple(new_mips_y))
+    state = state._replace(mip_x=tuple(new_mips_x), mip_y=tuple(new_mips_y))
+    if with_stats:
+        truncated = jnp.maximum(n_active - budget, 0)
+        return state, {"blocks_truncated": truncated}
+    return state

@@ -15,13 +15,14 @@ marching table under the ~96 MB fast-gather threshold):
   gather per probe yields both addressing and the safe empty-space jump,
   replacing the reference's octree ray iterator
   (ray_iterator.hpp:116-226).
-* ``strips`` — the pool re-rowed as x-lines, bf16 [(cap+1)*64, 16]:
-  lanes 0-7 are a brick's x-line (weight-0 voxels as an UNKNOWN
-  sentinel, a sentinel row block for unallocated cells), lanes 8-15 the
-  next-x brick's x-line. A march probe is nav-gather + strip-row gather
-  + vectorized lane select; a trilinear stencil needs only 4 row
-  fetches (one per (y,z) corner pair) with (x, x+1) lane-selected in
-  registers and the sentinel decoding to the field's init fill.
+* ``strips`` — the pool re-rowed as x-lines, a PAIR of bf16
+  [(cap+1)*64, 8] tables (brick x-line; next-x brick's x-line — see
+  build_strips): weight-0 voxels carry an UNKNOWN sentinel, row block 0
+  is the sentinel brick for unallocated cells. A march probe is
+  nav-gather + one left-row gather + vectorized lane select; a
+  trilinear stencil needs 4 row-index computations with (left, right)
+  fetch pairs per (y,z) corner and (x, x+1) lane-selected in registers,
+  the sentinel decoding to the field's init fill.
   One fetch set yields BOTH the value and the trilinear cell gradient;
   the hit refinement is a Newton step along the ray on that fetch and
   the surface normal is the same cell gradient. (Deviation from the
@@ -51,10 +52,6 @@ from supereight_tpu.core import se3
 from supereight_tpu.utils.loops import bounded_steps, lane_select
 
 MAX_JUMP = 6   # cap of the chebyshev block-distance transform
-
-_LANE8 = jnp.arange(8, dtype=jnp.int32)
-_LANE16 = jnp.arange(16, dtype=jnp.int32)
-
 
 def ray_directions_c(view, width, height):
     """Per-pixel world-space ray dir components (ref rendering.cpp:62-65);
@@ -113,19 +110,75 @@ def block_distance(geom, state, max_jump: int = MAX_JUMP):
     return d
 
 
-def build_nav(geom, state):
-    """i32 [B^3]: pool slot for allocated cells; -(chebyshev block
-    distance) for empty cells (always <= -1). One gather decodes both."""
+def coarse_cell_grid(geom, state):
+    """Finest existing coarse (mip) value per block cell: ([B,B,B] f32,
+    [B,B,B] bool exists). Mirrors Octree::get's descent-stops-at-missing-
+    child coarse fallback (octree.hpp:333-355) at block granularity.
+    Existence requires an updated value (data.y > 0 — the gate the
+    reference occupancy raycast applies, bfusion/rendering_impl.hpp:52).
+    """
+    b = geom.blocks_per_side
+    val = jnp.zeros((b, b, b), jnp.float32)
+    have = jnp.zeros((b, b, b), bool)
+    for lvl in range(geom.num_levels):
+        r = 1 << lvl
+        ex = state.mip_alloc[lvl] & (state.mip_y[lvl] > 0)
+        mx = state.mip_x[lvl]
+        if r > 1:
+            ex = jnp.repeat(jnp.repeat(jnp.repeat(ex, r, 0), r, 1), r, 2)
+            mx = jnp.repeat(jnp.repeat(jnp.repeat(mx, r, 0), r, 1), r, 2)
+        take = ex & ~have
+        val = jnp.where(take, mx, val)
+        have = have | take
+    return val, have
+
+
+def build_nav(geom, state, field=None):
+    """i32 [B^3] navigation grid, ONE gather per probe decodes everything.
+
+    * allocated cells: the pool slot (>= 0);
+    * empty cells: -(1 + e) with packed e =
+        bits 0-2   chebyshev block distance to the nearest allocated
+                   block (capped at MAX_JUMP) — the safe empty-space jump,
+        bit  3     (OFusion only) a coarse mip value exists here and is
+                   free space (log-odds <= SURF_BOUNDARY),
+        bits 4+    (OFusion only) the coarse log-odds magnitude,
+                   quantized to 1/16 (value = -(e >> 4) / 16).
+
+    The coarse payload is what lets the occupancy march treat allocated
+    free space as KNOWN (reference marches it via Octree::get's coarse
+    fallback, bfusion/rendering_impl.hpp:50-57) while still jumping it at
+    block granularity: a >0 crossing can only occur inside the ±band
+    blocks (the occupancy allocator places blocks over the whole surface
+    band, bfusion/alloc_impl.hpp:75-95), so sampling each traversed cell
+    once is exact. Coarse cells with positive log-odds are left UNKNOWN
+    (no crossing outside blocks — documented deviation).
+    """
     d = block_distance(geom, state).astype(jnp.int32)
-    return jnp.where(state.slot >= 0, state.slot, -d).reshape(-1)
+    e = d  # dist in bits 0-2 (d >= 1 for empty cells)
+    if field is not None and field.name == "ofusion":
+        cval, have = coarse_cell_grid(geom, state)
+        known_free = have & (cval <= SURF_BOUNDARY)
+        q = jnp.round(jnp.clip(-cval, 0.0, 1000.0) * 16.0).astype(jnp.int32)
+        e = e + jnp.where(known_free, 8 + (q << 4), 0)
+    return jnp.where(state.slot >= 0, state.slot, -(1 + e)).reshape(-1)
 
 
 def build_strips(geom, state, field):
-    """bf16 [(cap+1)*64, 16] marching/interp strips: each row is a
-    brick's x-line (lanes 0-7) concatenated with the NEXT-x brick's
-    x-line (lanes 8-15), so both a march probe and an (x, x+1)
-    trilinear pair are ONE row fetch. Row block 0 is the sentinel
+    """Marching/interp strips: a pair of bf16 [(cap+1)*64, 8] tables.
+
+    ``left`` rows are brick x-lines (strip id y + 8z inside the brick);
+    ``right`` rows are the NEXT-x brick's same x-line (sentinel at map
+    edge / unallocated). The two tables share row indices, so a march
+    probe is ONE 8-lane row fetch (left only) and an (x, x+1) trilinear
+    pair is two fetches at the same index. Row block 0 is the sentinel
     "unallocated" brick.
+
+    Two SEPARATE 8-lane tables instead of one interleaved 16-lane table:
+    the interleave costs two lane-granularity relayout reshapes (~2 ms
+    each at 512^3 — tools/trace_hot_ops.py) while both of these reshapes
+    are contiguous views, and 8-lane row gathers are cheaper than
+    16-lane (~3.4 vs ~4.6 ns/row, CLAUDE.md perf laws).
 
     Values are MARCH-encoded: weight-0 voxels carry the UNKNOWN
     sentinel (the reference's y == 0 check, kfusion raycast unknown
@@ -153,10 +206,7 @@ def build_strips(geom, state, field):
     nslot = jnp.concatenate([jnp.full((1,), -1, jnp.int32), nslot])
     nvals = vals[nslot + 1]                                # [cap+1, 512]
 
-    left = vals.reshape(cap + 1, 64, 8)
-    right = nvals.reshape(cap + 1, 64, 8)
-    strips = jnp.concatenate([left, right], axis=-1)
-    return strips.reshape(-1, 16)
+    return vals.reshape(-1, 8), nvals.reshape(-1, 8)
 
 
 def _cell_and_strip(geom, vx, vy, vz):
@@ -169,7 +219,13 @@ def _cell_and_strip(geom, vx, vy, vz):
 
 def _probe(geom, nav, strips, unk, px, py, pz):
     """One marching probe at metric positions: nav gather + strip row +
-    lane select. Returns (value, known, jump_dist_blocks)."""
+    lane select. Returns (value, known, jump_dist_blocks, in_block).
+
+    Empty cells decode the packed nav payload (see :func:`build_nav`):
+    the jump distance always, and — when present — the coarse free-space
+    value, which makes the cell KNOWN with that value (the occupancy
+    march's coarse fallback, bfusion/rendering_impl.hpp:50-57).
+    """
     size = geom.size
     vx = (px * geom.inv_voxel_size).astype(jnp.int32)
     vy = (py * geom.inv_voxel_size).astype(jnp.int32)
@@ -181,12 +237,18 @@ def _probe(geom, nav, strips, unk, px, py, pz):
     vz = jnp.clip(vz, 0, size - 1)
     cell, strip = _cell_and_strip(geom, vx, vy, vz)
     nv = nav[cell]
-    row = strips[(jnp.maximum(nv, -1) + 1) * 64 + strip]      # [..., 16]
+    in_block = (nv >= 0) & inb
+    row = strips[0][(jnp.maximum(nv, -1) + 1) * 64 + strip]   # [..., 8]
     val = lane_select(row, vx & 7).astype(jnp.float32)
-    known = (val < 0.5 * unk) & inb
-    dist = jnp.where(nv < 0, (-nv).astype(jnp.float32), 0.0)
+    e = jnp.where(nv < 0, -nv - 1, 0)
+    coarse_known = ((e >> 3) & 1) == 1
+    coarse_val = -(e >> 4).astype(jnp.float32) * (1.0 / 16.0)
+    val = jnp.where(in_block, val,
+                    jnp.where(coarse_known, coarse_val, unk))
+    known = ((val < 0.5 * unk) & in_block) | (coarse_known & inb)
+    dist = jnp.where(nv < 0, (e & 7).astype(jnp.float32), 0.0)
     dist = jnp.where(inb, dist, float(MAX_JUMP))
-    return val, known, dist
+    return val, known, dist, in_block
 
 
 def _interp_grad(geom, nav, strips, unk, fill, px, py, pz):
@@ -214,9 +276,15 @@ def _interp_grad(geom, nav, strips, unk, fill, px, py, pz):
     def pair(yk, zk):
         cell, strip = _cell_and_strip(geom, ix, yk, zk)
         nv = nav[cell]
-        row = strips[(jnp.maximum(nv, -1) + 1) * 64 + strip]  # [..., 16]
-        v0 = lane_select(row, lane).astype(jnp.float32)
-        v1 = lane_select(row, lane + 1).astype(jnp.float32)
+        ridx = (jnp.maximum(nv, -1) + 1) * 64 + strip
+        lrow = strips[0][ridx]                                # [..., 8]
+        rrow = strips[1][ridx]
+        v0 = lane_select(lrow, lane).astype(jnp.float32)
+        # x+1: next lane of the same brick row, or lane 0 of the
+        # next-x brick's row when x is the brick's last voxel
+        v1 = jnp.where(lane < 7,
+                       lane_select(lrow, (lane + 1) & 7),
+                       rrow[..., 0]).astype(jnp.float32)
         v0 = jnp.where(v0 < 0.5 * unk, v0, fill)
         v1 = jnp.where(v1 < 0.5 * unk, v1, fill)
         return v0, v1
@@ -265,15 +333,22 @@ def _compact(n, budget, mask):
 # even with zero live rays (rolled-loop gathers pay a flat slow-path
 # cost — CLAUDE.md perf laws), 25 ms for an always-skipped tail, while
 # an unrolled 48-step straggler stage at 1/48 budget costs ~1 ms.
-# Budgets sized from measured live-ray decay on the bench scene
-# (tools/march_live_counts.py: primed live fraction 19% after 6 steps,
-# 1.3% after 16, zero by 48; cold 30% after 16, 0.2% by 32). Live rays
-# beyond a stage budget miss for the frame — the budgets keep ~2x
-# headroom over the measured counts.
-_CASCADE_PRIMED = ((4, 1.0), (12, 1.0 / 4.0), (32, 1.0 / 24.0),
-                   (48, 1.0 / 48.0))
-_CASCADE_COLD = ((16, 1.0), (16, 1.0 / 3.0), (32, 1.0 / 48.0),
-                 (48, 1.0 / 96.0))
+# Budgets sized from measured live-ray decay with ~2x headroom; live
+# rays beyond a stage budget miss for the frame AND are counted in the
+# ray_overflow stat, so an undersized budget is observable rather than
+# silent. Field-specific: TSDF sphere-traces (fast decay —
+# tools/march_live_counts.py: primed 19% live after 6 steps, 1.3% after
+# 16, 0 by 48; cold 30% after 16, 0.2% by 32); OFusion 1-voxel-crawls
+# the surface-band blocks so it decays slower (measured cold decay on
+# the room scene: 39% after 16, 6% after 32, 0 by ~56).
+_CASCADE_PRIMED_TSDF = ((4, 1.0), (12, 1.0 / 4.0), (32, 1.0 / 24.0),
+                        (48, 1.0 / 48.0))
+_CASCADE_COLD_TSDF = ((16, 1.0), (16, 1.0 / 3.0), (32, 1.0 / 48.0),
+                      (48, 1.0 / 96.0))
+_CASCADE_PRIMED_OF = ((4, 1.0), (12, 1.0 / 2.0), (32, 1.0 / 8.0),
+                      (48, 1.0 / 24.0))
+_CASCADE_COLD_OF = ((16, 1.0), (16, 1.0 / 2.0), (32, 1.0 / 8.0),
+                    (48, 1.0 / 24.0))
 
 
 def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
@@ -301,7 +376,7 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     unk = _sentinel(field)
     is_tsdf = field.name == "tsdf"
     if nav is None:
-        nav = build_nav(geom, state)
+        nav = build_nav(geom, state, field)
     if strips is None:
         strips = build_strips(geom, state, field)
     bstep = BLOCK_SIDE * geom.voxel_size
@@ -317,10 +392,10 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
         small = 0.5 * mu + 2.0 * geom.voxel_size
         t_tight = jnp.where(prime_t > 0,
                             jnp.maximum(tnear, prime_t - small), tnear)
-        ft, kt, _ = _probe(geom, nav, strips, unk,
-                           origin[0] + dx * t_tight,
-                           origin[1] + dy * t_tight,
-                           origin[2] + dz * t_tight)
+        ft, kt, _, _ = _probe(geom, nav, strips, unk,
+                              origin[0] + dx * t_tight,
+                              origin[1] + dy * t_tight,
+                              origin[2] + dz * t_tight)
         ok_tight = kt & ((ft > 0) if is_tsdf else (ft <= SURF_BOUNDARY))
         tnear = jnp.where(ok_tight, t_tight,
                           jnp.where(prime_t > 0,
@@ -328,15 +403,15 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
                                     tnear))
         # the tight probe doubles as the start-state check for the
         # rays it validated; fallback rays re-check below
-        f0, known0, _ = _probe(geom, nav, strips, unk,
-                               origin[0] + dx * tnear,
-                               origin[1] + dy * tnear,
-                               origin[2] + dz * tnear)
+        f0, known0, _, _ = _probe(geom, nav, strips, unk,
+                                  origin[0] + dx * tnear,
+                                  origin[1] + dy * tnear,
+                                  origin[2] + dz * tnear)
     else:
-        f0, known0, _ = _probe(geom, nav, strips, unk,
-                               origin[0] + dx * tnear,
-                               origin[1] + dy * tnear,
-                               origin[2] + dz * tnear)
+        f0, known0, _, _ = _probe(geom, nav, strips, unk,
+                                  origin[0] + dx * tnear,
+                                  origin[1] + dy * tnear,
+                                  origin[2] + dz * tnear)
     v0 = jnp.where(known0, f0, fill)
     go = (tnear < tfar) & ((v0 > 0) if is_tsdf
                            else (v0 <= SURF_BOUNDARY))
@@ -345,7 +420,7 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     def stage(carry, dxx, dyy, dzz, tff, steps):
         def one(c):
             t, ss, f_t, f_tt, status = c
-            mx, known, dist = _probe(
+            mx, known, dist, in_block = _probe(
                 geom, nav, strips, unk,
                 origin[0] + dxx * t, origin[1] + dyy * t,
                 origin[2] + dzz * t)
@@ -356,14 +431,22 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
                 f_tt = jnp.where(active & known, mx, f_tt)
                 f_t = jnp.where(active & known & ~hit, mx, f_t)
                 known_step = jnp.maximum(f_tt * mu, step)
+                fine = known
             else:
                 f_tt = jnp.where(active & known, mx, f_tt)
                 f_t = jnp.where(active & ~hit, f_tt, f_t)
                 known_step = step
+                # coarse-known free space (known & ~in_block) is
+                # value-constant per traversed cell, so it is jumped at
+                # block granularity instead of 1-voxel-stepped — the
+                # TPU form of the reference's constant-step march
+                # through Octree::get coarse values
+                # (bfusion/rendering_impl.hpp:44-58).
+                fine = in_block
             jump = jnp.maximum(largestep,
                                jnp.maximum(dist - 1, 0.0) * bstep
                                + 0.5 * largestep)
-            new_ss = jnp.where(known, known_step, jump)
+            new_ss = jnp.where(fine, known_step, jump)
             adv = active & ~hit
             ss = jnp.where(adv, new_ss, ss)
             t = jnp.where(adv, t + ss, t)
@@ -380,7 +463,12 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     f_tt = jnp.zeros((n,))
     status = status0
 
-    cascade = _CASCADE_PRIMED if prime_t is not None else _CASCADE_COLD
+    if is_tsdf:
+        cascade = (_CASCADE_PRIMED_TSDF if prime_t is not None
+                   else _CASCADE_COLD_TSDF)
+    else:
+        cascade = (_CASCADE_PRIMED_OF if prime_t is not None
+                   else _CASCADE_COLD_OF)
     first_steps, _ = cascade[0]
     t, ss, f_t, f_tt, status = stage((t, ss, f_t, f_tt, status),
                                      dx, dy, dz, tfar,
@@ -388,7 +476,7 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     done_budget = first_steps
 
     def substage(t, ss, f_t, f_tt, status, frac, steps):
-        budget = max(1024, int(n * frac))
+        budget = min(n, max(1024, int(n * frac)))
         wl = _compact(n, budget, status == 0)
         wlc = jnp.maximum(wl, 0)
         sub_status = jnp.where(wl >= 0, 0, 2).astype(jnp.int32)
@@ -410,7 +498,10 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
             min(steps, max_steps - done_budget))
         done_budget += steps
 
-    # rays still marching after the cascade (beyond-budget overflow) miss
+    # rays still marching after the cascade are beyond-budget overflow:
+    # they miss for the frame, and are COUNTED so a scene exceeding the
+    # tuned budgets is observable (ADVICE r2; silent-drop accounting).
+    overflow = jnp.sum((status == 0).astype(jnp.int32))
 
     hit = status == 1
     # linear zero-crossing estimate from the voxel-sample bracket
@@ -426,8 +517,8 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
         t1 = t + ss * f_lo / denom
     else:
         t1 = t - ss * (f_hi - SURF_BOUNDARY) / denom
-    return (jnp.where(hit, t1, 0.0), jnp.where(hit, ss, 0.0), hit,
-            nav, strips)
+    return (jnp.where(hit, t1, 0.0), jnp.where(hit, t, 0.0),
+            jnp.where(hit, ss, 0.0), hit, overflow, nav, strips)
 
 
 def prime_from_depth(depth, k):
@@ -448,34 +539,68 @@ def prime_from_depth(depth, k):
 
 
 @functools.partial(jax.jit, static_argnames=("geom", "field", "frame_size",
-                                             "max_steps"))
+                                             "max_steps", "with_stats"))
 def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
-            near=NEAR_PLANE, far=FAR_PLANE, prime_t=None):
+            near=NEAR_PLANE, far=FAR_PLANE, prime_t=None,
+            with_stats=False):
     """Produce vertex/normal/valid maps for tracking and rendering
     (ref raycastKernel, rendering.cpp:50-90).
 
     view = raycast_pose @ inverse_camera_matrix(k).
-    Returns (vertex [H,W,3] world meters, normal [H,W,3], valid [H,W]).
+    Returns (vertex [H,W,3] world meters, normal [H,W,3], valid [H,W]),
+    plus a stats dict (``ray_overflow``: rays still live past the march
+    budget — they miss this frame) when ``with_stats``.
+
+    ``max_steps`` CAPS the compaction-cascade step budget; the effective
+    per-ray bound is min(max_steps, cascade total) — 96 fine steps primed
+    / 112 cold (_CASCADE_*), with empty-space jumps covering up to
+    MAX_JUMP blocks per step so a full near→far march fits the budget.
+    Rays needing more steps are counted in ``ray_overflow``.
     """
     w, h = frame_size
+    dxi, dyi, dzi = ray_directions_c(view, w, h)
+    dx, dy, dz = dxi.reshape(-1), dyi.reshape(-1), dzi.reshape(-1)
+    origin = view[:3, 3]
+
+    (vx, vy, vz, nx, ny, nz, hit, ok, overflow) = raycast_rays(
+        geom, field, origin, dx, dy, dz, mu, state=state,
+        max_steps=max_steps, near=near, far=far, prime_t=prime_t)
+
+    vertex = jnp.stack([jnp.where(hit, vx, 0.0),
+                        jnp.where(hit, vy, 0.0),
+                        jnp.where(hit, vz, 0.0)], axis=-1).reshape(h, w, 3)
+    normal = jnp.stack([nx, ny, nz], axis=-1).reshape(h, w, 3)
+    if with_stats:
+        return vertex, normal, ok.reshape(h, w), {"ray_overflow": overflow}
+    return vertex, normal, ok.reshape(h, w)
+
+
+def raycast_rays(geom, field, origin, dx, dy, dz, mu, state=None,
+                 nav=None, strips=None, max_steps=None, near=NEAR_PLANE,
+                 far=FAR_PLANE, prime_t=None):
+    """Ray-level raycast core over flat direction arrays: march + Newton
+    refinement + gradient normals. Either ``state`` or prebuilt
+    (``nav``, ``strips``) must be given — the sharded pipeline passes the
+    halo-exchanged tables here (parallel/dist_step.py) while the
+    single-chip path builds them from the local map.
+
+    Returns (vx, vy, vz, nx, ny, nz, hit, ok, overflow) flat arrays.
+    """
     if max_steps is None:
         max_steps = 2 * geom.size
     step = geom.voxel_size
     largestep = step * BLOCK_SIDE
-
-    dxi, dyi, dzi = ray_directions_c(view, w, h)
-    dx, dy, dz = dxi.reshape(-1), dyi.reshape(-1), dzi.reshape(-1)
-    origin = view[:3, 3]
     tnear, tfar = ray_box_range_c(origin, dx, dy, dz, geom.dim, near, far)
 
-    t1, ss, hit, nav, strips = _march(geom, state, field, origin,
-                                      dx, dy, dz, tnear, tfar, mu, step,
-                                      largestep, max_steps,
-                                      prime_t=prime_t)
+    t1, t_cross, ss, hit, overflow, nav, strips = _march(
+        geom, state, field, origin, dx, dy, dz, tnear, tfar, mu, step,
+        largestep, max_steps, nav=nav, strips=strips, prime_t=prime_t)
 
     # Newton refinement + normal from ONE trilinear fetch set: value and
     # cell gradient at the bracket estimate; step along the ray to the
-    # interpolant's zero crossing (clamped inside the bracket).
+    # interpolant's zero crossing, clamped inside the OBSERVED bracket
+    # [t_cross - ss, t_cross] (the reference's solve interpolates within
+    # the sampled bracket, kfusion/rendering_impl.hpp:66-70).
     iv = geom.inv_voxel_size
     unk = _sentinel(field)
     fill = 1.0 if field.name == "tsdf" else 0.0
@@ -487,7 +612,7 @@ def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
     safe = jnp.abs(deriv) > 1e-6
     # both fields cross the surface at 0 (TSDF zero / SURF_BOUNDARY)
     t_hit = t1 - jnp.where(safe, v1 / jnp.where(safe, deriv, 1.0), 0.0)
-    t_hit = jnp.clip(t_hit, t1 - ss, t1 + ss)
+    t_hit = jnp.clip(t_hit, t_cross - ss, t_cross)
     t_hit = jnp.where(hit, t_hit, 0.0)
 
     vx = origin[0] + dx * t_hit
@@ -501,8 +626,4 @@ def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
     nx = jnp.where(ok, gx * inv, INVALID)
     ny = jnp.where(ok, gy * inv, 0.0)
     nz = jnp.where(ok, gz * inv, 0.0)
-    vertex = jnp.stack([jnp.where(hit, vx, 0.0),
-                        jnp.where(hit, vy, 0.0),
-                        jnp.where(hit, vz, 0.0)], axis=-1).reshape(h, w, 3)
-    normal = jnp.stack([nx, ny, nz], axis=-1).reshape(h, w, 3)
-    return vertex, normal, ok.reshape(h, w)
+    return vx, vy, vz, nx, ny, nz, hit, ok, overflow

@@ -9,12 +9,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from supereight_tpu import constants as C
 from supereight_tpu.core import interp as interp_mod
 from supereight_tpu.ops import raycast as raycast_mod
 
-AMBIENT = jnp.array([0.1, 0.1, 0.1])
+AMBIENT = np.array([0.1, 0.1, 0.1], np.float32)
 
 
 def gs2rgb(d):
@@ -50,7 +51,7 @@ def render_depth(depth, near=C.NEAR_PLANE, far=C.FAR_PLANE):
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
-_TRACK_COLORS = jnp.array([
+_TRACK_COLORS = np.array([
     [255, 128, 128],   # default / grey case fallthrough
     [128, 128, 128],   # 1: tracked ok
     [0, 0, 0],         # -1: no input
@@ -69,12 +70,13 @@ def render_track(result):
         [result == 1, result == -1, result == -2, result == -3,
          result == -4, result == -5],
         [1, 2, 3, 4, 5, 6], 0)
-    rgb = _TRACK_COLORS[idx]
+    rgb = jnp.asarray(_TRACK_COLORS)[idx]
     alpha = jnp.zeros(result.shape + (1,), jnp.uint8)
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("geom", "field", "frame_size"))
+@functools.partial(jax.jit, static_argnames=("geom", "field", "frame_size",
+                                             "reuse_maps"))
 def render_volume(geom, state, field, view_pose, k, mu, frame_size,
                   light=None, vertex=None, normal=None, valid=None,
                   reuse_maps=False):

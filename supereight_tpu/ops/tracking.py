@@ -18,6 +18,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from supereight_tpu.constants import (DIST_THRESHOLD, INVALID,
                                       NORMAL_THRESHOLD, TRACK_BAD_NORMAL,
@@ -107,8 +108,8 @@ def track_residuals(in_vertex, in_normal, in_valid, ref_vertex, ref_normal,
     return result, error, jac
 
 
-_TRIU_R = jnp.asarray([r for r, _ in _TRIU])
-_TRIU_C = jnp.asarray([c for _, c in _TRIU])
+_TRIU_R = np.asarray([r for r, _ in _TRIU])
+_TRIU_C = np.asarray([c for _, c in _TRIU])
 
 
 def reduce_tracking(result, error, jac):
@@ -143,7 +144,7 @@ def reduce_tracking(result, error, jac):
 
 
 # symmetric [6, 6] of positions into the 21-vector (row-major upper tri)
-_SYM_IDX = jnp.asarray(
+_SYM_IDX = np.asarray(
     [[{**{(r, c): i for i, (r, c) in enumerate(_TRIU)},
        **{(c, r): i for i, (r, c) in enumerate(_TRIU)}}[(a, b)]
       for b in range(6)] for a in range(6)], jnp.int32)
@@ -226,20 +227,33 @@ def check_pose(pose, old_pose, reduction, image_size,
     return jnp.where(bad, old_pose, pose), ~bad
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
+@functools.partial(jax.jit, static_argnames=("iterations", "axis_name",
+                                              "n_shards"))
 def track(pose, raycast_pose, k_full, pyr_vertex, pyr_normal, pyr_valid,
           ref_vertex, ref_normal, ref_valid,
-          iterations: Sequence[int], icp_threshold):
+          iterations: Sequence[int], icp_threshold,
+          axis_name=None, n_shards: int = 1):
     """Full coarse-to-fine ICP (DenseSLAMSystem::tracking, 143-189).
 
     pyr_*: tuples of per-level maps, finest first. Returns
     (new_pose, tracked, final_reduction, result_map_finest).
+
+    DISTRIBUTED mode (``axis_name`` set, inside shard_map over
+    ``n_shards`` devices): each device computes residuals for its COLUMN
+    slice of every pyramid level (columns because the bench widths stay
+    divisible through the pyramid) against the full (gathered) reference
+    maps, and the 32-float normal-equation reduction becomes a psum —
+    the distributed ICP reduction of BASELINE.md's north star. Every
+    device then applies the identical pose update. The finest result map
+    is returned as the LOCAL column slice (callers all_gather if they
+    need the full map).
     """
     view = jnp.matmul(se3.camera_matrix(k_full), se3.inverse(raycast_pose),
                       precision=jax.lax.Precision.HIGHEST)
     old_pose = pose
     reduction = jnp.zeros((32,))
-    result_fine = jnp.zeros(pyr_vertex[0].shape[:2], jnp.int32)
+    if axis_name is not None:
+        shard_idx = jax.lax.axis_index(axis_name)
 
     # The GN iterations run as fixed trip counts with a `done` flag
     # freezing converged state (bounded_steps: unrolled on TPU where
@@ -247,8 +261,15 @@ def track(pose, raycast_pose, k_full, pyr_vertex, pyr_normal, pyr_valid,
     # `done` reproduces the reference's per-level early break exactly:
     # once ||x|| < threshold, pose/reduction/result stop changing.
     ref_packed = pack_reference(ref_vertex, ref_normal, ref_valid)
+    result_fine = None
     for level in range(len(iterations) - 1, -1, -1):
         iv, inorm, ival = pyr_vertex[level], pyr_normal[level], pyr_valid[level]
+        if axis_name is not None:
+            w_loc = iv.shape[1] // n_shards
+            start = shard_idx * w_loc
+            iv = jax.lax.dynamic_slice_in_dim(iv, start, w_loc, 1)
+            inorm = jax.lax.dynamic_slice_in_dim(inorm, start, w_loc, 1)
+            ival = jax.lax.dynamic_slice_in_dim(ival, start, w_loc, 1)
 
         def one(c, iv=iv, inorm=inorm, ival=ival):
             pose, reduction, result, done = c
@@ -256,6 +277,8 @@ def track(pose, raycast_pose, k_full, pyr_vertex, pyr_normal, pyr_valid,
                                             ref_normal, ref_valid, pose,
                                             view, ref_packed=ref_packed)
             red = reduce_tracking(res, err, jac)
+            if axis_name is not None:
+                red = jax.lax.psum(red, axis_name)
             new_pose, converged = update_pose(pose, red, icp_threshold)
             pose = jnp.where(done, pose, new_pose)
             reduction = jnp.where(done, reduction, red)

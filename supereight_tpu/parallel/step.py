@@ -44,22 +44,44 @@ def init_frame_state(geom, field, frame_size, init_pose):
     )
 
 
+def integration_budget(geom, n_blocks: int) -> int:
+    """Static integration worklist budget from a LIVE block count: the
+    next power of two covering it (one recompile per doubling), clamped
+    to capacity. Matches pipeline._budget_bucket; keeping the fused step
+    at a fixed 8192 silently skipped fusion for blocks beyond the budget
+    on big maps (ADVICE r2) — the reference updates every active block
+    (projective_functor.hpp:139-156)."""
+    n = max(int(n_blocks), 1)
+    bucket = 1024
+    while bucket < n:
+        bucket *= 2
+    return min(bucket, geom.capacity)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("geom", "field", "frame_size", "iterations",
                      "mu", "icp_threshold", "neg_y", "filter_input",
-                     "use_gt_pose", "integration_rate", "tracking_rate"))
+                     "use_gt_pose", "integration_rate", "tracking_rate",
+                     "budget", "depth_interp"))
 def frame_step(geom, field, state: FrameState, depth_m, k, frame,
                gt_pose=None, *,
                frame_size, iterations,
                mu, icp_threshold,
                neg_y, filter_input, use_gt_pose=False,
-               integration_rate=2, tracking_rate=1):
+               integration_rate=2, tracking_rate=1,
+               budget=8192, depth_interp=False):
     """Run one full frame; returns (new_state, aux dict of device arrays).
 
     ``frame`` is a traced int32 scalar so one compiled program serves the
     whole sequence; the reference's rate gates (DenseSLAMSystem.cpp:146,
     209, 195) become lax.cond branches.
+
+    ``budget`` is the static integration worklist size — derive it from
+    the live block count with :func:`integration_budget`. The aux dict
+    carries drop-accounting counters (``blocks_truncated``,
+    ``alloc_overflow``, ``ray_overflow``): all zero in a well-sized run;
+    nonzero values mean budgets need raising for this scene.
     """
     depths, verts, norms, valids = _preprocess_and_pyramid(
         depth_m, k, len(iterations), neg_y, filter_input)
@@ -85,17 +107,20 @@ def frame_step(geom, field, state: FrameState, depth_m, k, frame,
 
     def integrate_branch(m_state):
         if field.multiscale_alloc:
-            m2 = allocation.allocate_ofusion(geom, m_state, depths[0],
-                                             pose, k, mu)
+            m2, astats = allocation.allocate_ofusion(
+                geom, m_state, depths[0], pose, k, mu, with_stats=True)
         else:
-            m2 = allocation.allocate_tsdf(geom, m_state, depths[0],
-                                          pose, k, mu)
-        return integration.integrate(
+            m2, astats = allocation.allocate_tsdf(
+                geom, m_state, depths[0], pose, k, mu, with_stats=True)
+        m3, istats = integration.integrate(
             geom, m2, field, depth_m, pose, k, mu,
-            (1.0 / 30.0) * frame.astype(jnp.float32), frame_size)
+            (1.0 / 30.0) * frame.astype(jnp.float32), frame_size,
+            budget=budget, depth_interp=depth_interp, with_stats=True)
+        return m3, astats["alloc_overflow"], istats["blocks_truncated"]
 
-    new_map = jax.lax.cond(do_integrate, integrate_branch,
-                           lambda m_state: m_state, state.map)
+    new_map, alloc_overflow, blocks_truncated = jax.lax.cond(
+        do_integrate, integrate_branch,
+        lambda m_state: (m_state, jnp.int32(0), jnp.int32(0)), state.map)
 
     # ---- raycast ------------------------------------------------------
     def raycast_branch(_):
@@ -105,14 +130,15 @@ def frame_step(geom, field, state: FrameState, depth_m, k, frame,
         # primes the march (raycast.prime_from_depth)
         prime = raycast.prime_from_depth(depth_m, k)
         return raycast.raycast(geom, new_map, field, view, mu, frame_size,
-                               prime_t=prime)
+                               prime_t=prime, with_stats=True)
 
     def keep_maps(_):
-        return state.vertex, state.normal, state.valid
+        return (state.vertex, state.normal, state.valid,
+                {"ray_overflow": jnp.int32(0)})
 
     do_raycast = frame > 2
-    vertex, normal, valid = jax.lax.cond(do_raycast, raycast_branch,
-                                         keep_maps, None)
+    vertex, normal, valid, rstats = jax.lax.cond(
+        do_raycast, raycast_branch, keep_maps, None)
     raycast_pose = jnp.where(do_raycast, pose, state.raycast_pose)
 
     new_state = FrameState(map=new_map, pose=pose,
@@ -120,5 +146,8 @@ def frame_step(geom, field, state: FrameState, depth_m, k, frame,
                            vertex=vertex, normal=normal, valid=valid)
     aux = {"tracked": tracked, "integrated": do_integrate,
            "reduction": reduction, "track_result": result,
-           "n_blocks": new_map.n_blocks}
+           "n_blocks": new_map.n_blocks,
+           "alloc_overflow": alloc_overflow,
+           "blocks_truncated": blocks_truncated,
+           "ray_overflow": rstats["ray_overflow"]}
     return new_state, aux

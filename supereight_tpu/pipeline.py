@@ -88,6 +88,12 @@ class DenseSLAMSystem:
 
         self._iterations = tuple(config.pyramid)
         self._neg_y = float(self.k[1]) < 0
+        # drop-accounting counters from the latest frame (device scalars;
+        # all zero in a well-sized run — see frame_step docstring)
+        self.stats = {}
+        # optional windowed pose-graph BA layer (enable_keyframes)
+        self.keyframes = None
+        self.trajectory_correction = np.eye(4, dtype=np.float32)
 
     # ------------------------------------------------------------------
     # pipeline stages (ref DenseSLAMSystem.cpp:128-268)
@@ -142,18 +148,21 @@ class DenseSLAMSystem:
             return False
         depths = self.pyr[0]
         if self.field.multiscale_alloc:
-            self.map = allocation.allocate_ofusion(
+            self.map, astats = allocation.allocate_ofusion(
                 self.geom, self.map, depths[0], self.pose, self.k,
-                self.config.mu)
+                self.config.mu, with_stats=True)
         else:
-            self.map = allocation.allocate_tsdf(
+            self.map, astats = allocation.allocate_tsdf(
                 self.geom, self.map, depths[0], self.pose, self.k,
-                self.config.mu)
+                self.config.mu, with_stats=True)
         timestamp = (1.0 / 30.0) * frame
-        self.map = integration.integrate(
+        self.map, istats = integration.integrate(
             self.geom, self.map, self.field, self.float_depth, self.pose,
             self.k, self.config.mu, timestamp, self.computation_size,
-            self._budget_bucket())
+            self._budget_bucket(), depth_interp=self.config.depth_interp,
+            with_stats=True)
+        self.stats = dict(self.stats, alloc_overflow=astats["alloc_overflow"],
+                          blocks_truncated=istats["blocks_truncated"])
         return True
 
     def raycasting(self, frame: int) -> bool:
@@ -164,9 +173,10 @@ class DenseSLAMSystem:
                           se3.inverse_camera_matrix(self.k),
                           precision=jax.lax.Precision.HIGHEST)
         prime = raycast.prime_from_depth(self.float_depth, self.k)
-        self.vertex, self.normal, self.valid = raycast.raycast(
+        self.vertex, self.normal, self.valid, rstats = raycast.raycast(
             self.geom, self.map, self.field, view, self.config.mu,
-            self.computation_size, prime_t=prime)
+            self.computation_size, prime_t=prime, with_stats=True)
+        self.stats = dict(self.stats, ray_overflow=rstats["ray_overflow"])
         return True
 
     def process_frame(self, depth, frame: int, is_mm: bool = True,
@@ -186,8 +196,69 @@ class DenseSLAMSystem:
         if tracked or frame <= 3:
             integrated = self.integration(frame)
         raycasted = self.raycasting(frame)
+        if self.keyframes is not None and tracked and gt_pose is None \
+                and frame > 2:
+            self._keyframe_step(frame)
         return {"tracked": tracked, "integrated": integrated,
-                "raycasted": raycasted}
+                "raycasted": raycasted, **self.stats}
+
+    # ------------------------------------------------------------------
+    # windowed pose-graph BA layer (no reference equivalent; the
+    # long-trajectory capability named in BASELINE.md — keyframe graph +
+    # loop-closure re-localization + Gauss-Newton window optimization)
+    # ------------------------------------------------------------------
+    def enable_keyframes(self, every: int = 10, window: int = 32,
+                         ba_every: int = 4, loop_closure: bool = True,
+                         reanchor: bool = False):
+        """Turn on keyframe recording + windowed BA.
+
+        ``every``: keyframe cadence in frames. ``ba_every``: optimize the
+        window every N keyframes (and immediately on a loop closure).
+        ``loop_closure``: re-localize against the stored raycast maps of
+        a revisited keyframe (ICP, same tracker) and add the resulting
+        constraint. ``reanchor``: also left-multiply the LIVE pose by the
+        latest correction (off by default: frame-to-model tracking pulls
+        the pose back toward the fused map, so the default is to publish
+        corrections via ``trajectory_correction`` for the output
+        trajectory, leaving live tracking undisturbed).
+        """
+        from supereight_tpu.posegraph.keyframes import KeyframeManager
+        self.keyframes = KeyframeManager(window=window, keyframe_every=every)
+        self._ba_every = ba_every
+        self._loop_closure = loop_closure
+        self._reanchor = reanchor
+        self._pending_ba = False
+
+    def _keyframe_step(self, frame: int):
+        km = self.keyframes
+        added = km.maybe_add(frame, self.pose, self.reduction,
+                             ref_maps=(self.vertex, self.normal, self.valid))
+        if not added:
+            return
+        idx = len(km.poses) - 1
+        if self._loop_closure:
+            cand = km.nearest_revisit(self.pose)
+            if cand is not None and km.ref_maps[cand] is not None:
+                rv, rn, rok = (jnp.asarray(m) for m in km.ref_maps[cand])
+                _, verts, norms, valids = self.pyr
+                pose_lc, ok_lc, red, _ = tracking.track(
+                    self.pose, jnp.asarray(km.poses[cand]), self.k,
+                    verts, norms, valids, rv, rn, rok,
+                    self._iterations, self.config.icp_threshold)
+                if bool(ok_lc):
+                    t_meas = (np.linalg.inv(km.poses[cand])
+                              @ np.asarray(pose_lc))
+                    w = max(float(np.asarray(red)[28]), 1.0) ** 0.5
+                    km.add_loop_closure(cand, idx, t_meas, w)
+                    self._pending_ba = True
+        if self._pending_ba or (len(km.poses) % self._ba_every == 0
+                                and len(km.edges) > 0):
+            km.optimize()
+            corr = km.correction_for_latest()
+            self.trajectory_correction = corr
+            if self._reanchor:
+                self.pose = jnp.asarray(corr, jnp.float32) @ self.pose
+            self._pending_ba = False
 
     # ------------------------------------------------------------------
     # rendering + export (ref DenseSLAMSystem.cpp:270-322)

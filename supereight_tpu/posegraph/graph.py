@@ -175,13 +175,14 @@ def optimize(poses, graph: PoseGraph, num_nodes: int, iters: int = 10,
         b = add_b(b, graph.i, ji)
         b = add_b(b, graph.j, jj)
 
-        # gauge fixing: clamp node 0 with a stiff prior
-        H = H.at[:6, :6].add(jnp.eye(6) * 1e8)
+        # gauge fixing: node 0 held EXACTLY fixed by solving the reduced
+        # system over nodes 1..N-1 (a stiff prior instead puts ~1e8 on
+        # the diagonal, pushing cond(H) past f32 Cholesky range — the
+        # solve then emits NaNs once the residuals converge)
         H = H + jnp.eye(n6) * damping
-
-        dx = -jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(H, lower=True), b)
-        dx = dx.reshape(num_nodes, 6)
+        dxr = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(H[6:, 6:], lower=True), b[6:])
+        dx = jnp.concatenate([jnp.zeros(6), dxr]).reshape(num_nodes, 6)
         new_poses = jax.vmap(lambda d, T: se3.exp(d) @ T)(dx, poses)
         return new_poses, jnp.linalg.norm(dx)
 

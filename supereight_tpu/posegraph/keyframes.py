@@ -26,16 +26,27 @@ class KeyframeManager:
         self.poses = []          # list of np [4,4]
         self.frames = []         # frame index per keyframe
         self.edges = []          # (i, j, T_meas np[4,4], weight)
+        self.ref_maps = []       # optional (vertex, normal, valid) per kf
+        self.pre_opt_latest = None
         self._frame_count = 0
 
-    def maybe_add(self, frame: int, pose, reduction=None) -> bool:
-        """Call once per tracked frame; records a keyframe on schedule."""
+    def maybe_add(self, frame: int, pose, reduction=None,
+                  ref_maps=None) -> bool:
+        """Call once per tracked frame; records a keyframe on schedule.
+
+        ``ref_maps``: optional (vertex, normal, valid) raycast maps at
+        this keyframe — kept (as numpy) so later frames can re-localize
+        against them for loop-closure edges (see pipeline.try_loop_closure).
+        """
         if frame % self.keyframe_every != 0:
             return False
         pose = np.asarray(pose, np.float32)
         idx = len(self.poses)
         self.poses.append(pose)
         self.frames.append(frame)
+        self.ref_maps.append(
+            None if ref_maps is None
+            else tuple(np.asarray(m) for m in ref_maps))
         if idx > 0:
             prev = self.poses[idx - 1]
             t_meas = np.linalg.inv(prev) @ pose
@@ -58,15 +69,38 @@ class KeyframeManager:
             return
         self.poses = self.poses[excess:]
         self.frames = self.frames[excess:]
+        self.ref_maps = self.ref_maps[excess:]
         self.edges = [(i - excess, j - excess, t, w)
                       for (i, j, t, w) in self.edges
                       if i >= excess and j >= excess]
 
+    def nearest_revisit(self, pose, min_gap: int = 3,
+                        max_dist: float = 0.5):
+        """Index of the spatially closest NON-RECENT keyframe within
+        ``max_dist`` meters of ``pose`` (loop-closure candidate), or
+        None. ``min_gap`` keyframes of separation avoids trivially
+        re-matching the immediate past."""
+        n = len(self.poses)
+        if n <= min_gap:
+            return None
+        p = np.asarray(pose, np.float32)[:3, 3]
+        best, best_d = None, max_dist
+        for idx in range(n - min_gap):
+            d = float(np.linalg.norm(self.poses[idx][:3, 3] - p))
+            if d < best_d:
+                best, best_d = idx, d
+        return best
+
     def optimize(self, iters: int = 10):
-        """Optimize the current window; returns corrected poses [N,4,4]."""
+        """Optimize the current window; returns corrected poses [N,4,4].
+
+        Pre-optimization poses are kept (``pre_opt_latest``) so
+        :meth:`correction_for_latest` can compute an actual correction
+        transform afterwards."""
         n = len(self.poses)
         if n < 2 or not self.edges:
             return np.asarray(self.poses)
+        self.pre_opt_latest = np.asarray(self.poses[-1], np.float32)
         e = len(self.edges)
         cap = max(self.max_edges, e)
         i = np.zeros(cap, np.int32)
@@ -86,6 +120,11 @@ class KeyframeManager:
         return out
 
     def correction_for_latest(self):
-        """Transform mapping the pre-optimization latest pose to the
-        optimized one (apply to the live pose to re-anchor tracking)."""
-        return self.poses[-1]
+        """World-frame transform mapping the latest keyframe's
+        pre-optimization pose to its optimized pose: apply as
+        ``pose_live <- C @ pose_live`` to re-anchor tracking after
+        :meth:`optimize`. Identity before any optimization."""
+        if getattr(self, "pre_opt_latest", None) is None:
+            return np.eye(4, dtype=np.float32)
+        return (np.asarray(self.poses[-1], np.float32)
+                @ np.linalg.inv(self.pre_opt_latest)).astype(np.float32)

@@ -37,6 +37,9 @@ class PerfStats:
         self.series.setdefault(key, []).append(float(value))
         self.types.setdefault(key, kind)
 
+    def has(self, key):
+        return key in self.series
+
     def last(self, key):
         return self.series[key][-1]
 
