@@ -40,16 +40,29 @@ def oni2raw(*_args, **_kw):
         ".raw here (the format is identical).")
 
 
-def synthetic2raw(out_path: str, frames: int = 64):
-    """Render the synthetic orbit scene into a .raw sequence + gt file."""
+def synthetic2raw(out_path: str, frames: int = 64, scene: str = "orbit",
+                  noise_factor: float = 0.0):
+    """Render a synthetic scene into a .raw sequence + TUM gt file.
+
+    scene="orbit": the simple sphere-in-a-room test scene.
+    scene="loop": the traj2-class benchmark — multi-object room
+    (occlusions, pillar, table, spheres), full closed-loop trajectory at
+    640x480, optional Kinect-model depth noise
+    (synthetic.loop_sequence).
+    """
     from supereight_tpu.io import dataset, synthetic
     k = (481.2, 480.0, 320.0, 240.0)
     dim = 4.8
-    depths, poses = synthetic.orbit_sequence(
-        frames, k, width=640, height=480, radius=0.3 * dim,
-        center=(dim / 2,) * 3, sphere_radius=0.15 * dim, angle_span=0.6,
-        room=((0.55,) * 3, (dim - 0.55,) * 3))
-    dataset.write_raw(out_path, (depths * 1000.0).astype(np.uint16))
+    if scene == "loop":
+        depths, poses = synthetic.loop_sequence(
+            frames, k, width=640, height=480, dim=dim,
+            noise_factor=noise_factor)
+    else:
+        depths, poses = synthetic.orbit_sequence(
+            frames, k, width=640, height=480, radius=0.3 * dim,
+            center=(dim / 2,) * 3, sphere_radius=0.15 * dim,
+            angle_span=0.6, room=((0.55,) * 3, (dim - 0.55,) * 3))
+    dataset.write_raw(out_path, np.round(depths * 1000.0).astype(np.uint16))
     gt_path = out_path + ".gt.txt"
     from supereight_tpu.cli import rotation_to_quaternion
     with open(gt_path, "w") as f:
@@ -69,11 +82,14 @@ def main(argv=None):
     s2 = sub.add_parser("synthetic")
     s2.add_argument("out")
     s2.add_argument("--frames", type=int, default=64)
+    s2.add_argument("--scene", choices=["orbit", "loop"], default="orbit")
+    s2.add_argument("--noise-factor", type=float, default=0.0)
     args = p.parse_args(argv)
     if args.cmd == "scene2raw":
         n = scene2raw(args.scene_dir, args.out)
     else:
-        n = synthetic2raw(args.out, args.frames)
+        n = synthetic2raw(args.out, args.frames, scene=args.scene,
+                          noise_factor=args.noise_factor)
     print(f"wrote {n} frames", file=sys.stderr)
     return 0
 

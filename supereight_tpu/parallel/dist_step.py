@@ -107,36 +107,48 @@ def make_mesh(n_devices=None) -> Mesh:
 def init_dist_state(mesh: Mesh, geom_local: MapGeometry, field, frame_size,
                     init_pose) -> DistState:
     """Empty sharded state. ``geom_local`` is the PER-DEVICE geometry
-    (capacity = global capacity / n_devices)."""
+    (capacity = global capacity / n_devices).
+
+    Built INSIDE a jit with out_shardings, so it also works in the
+    multi-process runtime (jax.distributed) where a host cannot
+    device_put onto non-addressable devices.
+    """
     d = mesh.devices.size
     w, h = frame_size
     cap = geom_local.capacity
     b = geom_local.blocks_per_side
     init_x, init_y = field.init
     nl = geom_local.num_levels
-    state = DistState(
-        map=MapState(
-            data_x=jnp.full((d * cap, BLOCK_VOXELS), init_x, jnp.float32),
-            data_y=jnp.full((d * cap, BLOCK_VOXELS), init_y, jnp.float32),
-            block_coord=jnp.zeros((d * cap, 3), jnp.int32),
-            active=jnp.zeros((d * cap,), bool),
-            slot=jnp.full((d, b, b, b), -1, jnp.int32),
-            n_blocks=jnp.zeros((d,), jnp.int32),
-            mip_x=tuple(jnp.full(((b >> l),) * 3, init_x, jnp.float32)
-                        for l in range(nl)),
-            mip_y=tuple(jnp.full(((b >> l),) * 3, init_y, jnp.float32)
-                        for l in range(nl)),
-            mip_alloc=tuple(jnp.zeros(((b >> l),) * 3, bool)
+    pose0 = np.asarray(init_pose, np.float32)
+
+    def build():
+        return DistState(
+            map=MapState(
+                data_x=jnp.full((d * cap, BLOCK_VOXELS), init_x,
+                                jnp.float32),
+                data_y=jnp.full((d * cap, BLOCK_VOXELS), init_y,
+                                jnp.float32),
+                block_coord=jnp.zeros((d * cap, 3), jnp.int32),
+                active=jnp.zeros((d * cap,), bool),
+                slot=jnp.full((d, b, b, b), -1, jnp.int32),
+                n_blocks=jnp.zeros((d,), jnp.int32),
+                mip_x=tuple(jnp.full(((b >> l),) * 3, init_x, jnp.float32)
                             for l in range(nl)),
-        ),
-        pose=jnp.asarray(init_pose, jnp.float32),
-        raycast_pose=jnp.asarray(init_pose, jnp.float32),
-        vertex=jnp.zeros((h, w, 3), jnp.float32),
-        normal=jnp.zeros((h, w, 3), jnp.float32),
-        valid=jnp.zeros((h, w), bool),
-    )
-    return jax.tree.map(jax.device_put, state, dist_state_shardings(
-        mesh, state))
+                mip_y=tuple(jnp.full(((b >> l),) * 3, init_y, jnp.float32)
+                            for l in range(nl)),
+                mip_alloc=tuple(jnp.zeros(((b >> l),) * 3, bool)
+                                for l in range(nl)),
+            ),
+            pose=jnp.asarray(pose0),
+            raycast_pose=jnp.asarray(pose0),
+            vertex=jnp.zeros((h, w, 3), jnp.float32),
+            normal=jnp.zeros((h, w, 3), jnp.float32),
+            valid=jnp.zeros((h, w), bool),
+        )
+
+    proto = jax.eval_shape(build)
+    sh = dist_state_shardings(mesh, proto)
+    return jax.jit(build, out_shardings=sh)()
 
 
 def dist_state_shardings(mesh: Mesh, state: DistState) -> DistState:
