@@ -95,7 +95,16 @@ def tsdf_touched_mask(geom, depth, pose, k, mu: float):
         t = i * step
         ids.append(_touched_cell_ids(geom, 0, ox + dx * t, oy + dy * t,
                                      oz + dz * t, valid))
-    flat = flat.at[jnp.stack(ids).reshape(-1)].set(True, mode="drop")
+    stacked = jnp.stack(ids)
+    # consecutive band samples mostly stay in the same 8-voxel block
+    # (2-voxel steps): route duplicates to the drop bucket — TPU scatters
+    # cost per UPDATE (~7 ns), so deduping ~70% of the 200k+ updates is
+    # ~1 ms off the stage
+    dup = stacked[1:] == stacked[:-1]
+    stacked = jnp.concatenate(
+        [stacked[:1],
+         jnp.where(dup, b * b * b, stacked[1:])])
+    flat = flat.at[stacked.reshape(-1)].set(True, mode="drop")
     return flat[:-1].reshape(b, b, b)
 
 

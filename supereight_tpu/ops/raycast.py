@@ -165,20 +165,17 @@ def build_nav(geom, state, field=None):
 
 
 def build_strips(geom, state, field):
-    """Marching/interp strips: a pair of bf16 [(cap+1)*64, 8] tables.
+    """bf16 [(cap+1)*64, 16] marching/interp strips: each row is a
+    brick's x-line (lanes 0-7, strip id y + 8z) concatenated with the
+    NEXT-x brick's same x-line (lanes 8-15; sentinel at map edge /
+    unallocated), so both a march probe and an (x, x+1) trilinear pair
+    are ONE row fetch. Row block 0 is the sentinel "unallocated" brick.
 
-    ``left`` rows are brick x-lines (strip id y + 8z inside the brick);
-    ``right`` rows are the NEXT-x brick's same x-line (sentinel at map
-    edge / unallocated). The two tables share row indices, so a march
-    probe is ONE 8-lane row fetch (left only) and an (x, x+1) trilinear
-    pair is two fetches at the same index. Row block 0 is the sentinel
-    "unallocated" brick.
-
-    Two SEPARATE 8-lane tables instead of one interleaved 16-lane table:
-    the interleave costs two lane-granularity relayout reshapes (~2 ms
-    each at 512^3 — tools/trace_hot_ops.py) while both of these reshapes
-    are contiguous views, and 8-lane row gathers are cheaper than
-    16-lane (~3.4 vs ~4.6 ns/row, CLAUDE.md perf laws).
+    (An 8-lane two-table split was measured end to end in r3: it halves
+    nothing — the dominant cost is the layout copy XLA inserts to put
+    the gather operand in its preferred {0,1} layout, identical for both
+    forms — while doubling the trilinear stencil's fetches, 4.4 ms ->
+    9.3 ms. The interleaved single table wins.)
 
     Values are MARCH-encoded: weight-0 voxels carry the UNKNOWN
     sentinel (the reference's y == 0 check, kfusion raycast unknown
@@ -206,7 +203,9 @@ def build_strips(geom, state, field):
     nslot = jnp.concatenate([jnp.full((1,), -1, jnp.int32), nslot])
     nvals = vals[nslot + 1]                                # [cap+1, 512]
 
-    return vals.reshape(-1, 8), nvals.reshape(-1, 8)
+    left = vals.reshape(cap + 1, 64, 8)
+    right = nvals.reshape(cap + 1, 64, 8)
+    return jnp.concatenate([left, right], axis=-1).reshape(-1, 16)
 
 
 def _cell_and_strip(geom, vx, vy, vz):
@@ -238,8 +237,8 @@ def _probe(geom, nav, strips, unk, px, py, pz):
     cell, strip = _cell_and_strip(geom, vx, vy, vz)
     nv = nav[cell]
     in_block = (nv >= 0) & inb
-    row = strips[0][(jnp.maximum(nv, -1) + 1) * 64 + strip]   # [..., 8]
-    val = lane_select(row, vx & 7).astype(jnp.float32)
+    row = strips[(jnp.maximum(nv, -1) + 1) * 64 + strip]      # [..., 16]
+    val = lane_select(row[..., :8], vx & 7).astype(jnp.float32)
     e = jnp.where(nv < 0, -nv - 1, 0)
     coarse_known = ((e >> 3) & 1) == 1
     coarse_val = -(e >> 4).astype(jnp.float32) * (1.0 / 16.0)
@@ -276,15 +275,11 @@ def _interp_grad(geom, nav, strips, unk, fill, px, py, pz):
     def pair(yk, zk):
         cell, strip = _cell_and_strip(geom, ix, yk, zk)
         nv = nav[cell]
-        ridx = (jnp.maximum(nv, -1) + 1) * 64 + strip
-        lrow = strips[0][ridx]                                # [..., 8]
-        rrow = strips[1][ridx]
-        v0 = lane_select(lrow, lane).astype(jnp.float32)
-        # x+1: next lane of the same brick row, or lane 0 of the
-        # next-x brick's row when x is the brick's last voxel
-        v1 = jnp.where(lane < 7,
-                       lane_select(lrow, (lane + 1) & 7),
-                       rrow[..., 0]).astype(jnp.float32)
+        row = strips[(jnp.maximum(nv, -1) + 1) * 64 + strip]  # [..., 16]
+        v0 = lane_select(row, lane).astype(jnp.float32)
+        # x+1: lane + 1 — crossing into lane 8 picks the next-x brick's
+        # first voxel (the interleaved layout's whole point)
+        v1 = lane_select(row, lane + 1).astype(jnp.float32)
         v0 = jnp.where(v0 < 0.5 * unk, v0, fill)
         v1 = jnp.where(v1 < 0.5 * unk, v1, fill)
         return v0, v1

@@ -12,7 +12,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from supereight_tpu import constants as C
-from supereight_tpu.core import interp as interp_mod
 from supereight_tpu.ops import raycast as raycast_mod
 
 AMBIENT = np.array([0.1, 0.1, 0.1], np.float32)

@@ -349,15 +349,16 @@ def make_dist_step(mesh: Mesh, geom: MapGeometry, field, *, frame_size,
 
             vals_pad = jnp.concatenate(
                 [jnp.full((1, BLOCK_VOXELS), unk, jnp.bfloat16), vals_g])
-            left = vals_pad.reshape(-1, 8)
             ncells = jnp.where(cells_g < b ** 3, cells_g + b * b, b ** 3)
             ncells = jnp.where((cells_g // (b * b)) + 1 < b, ncells,
                                b ** 3)
             gpad = jnp.concatenate([gslot, jnp.full((1,), -1, jnp.int32)])
             nslot = gpad[jnp.minimum(ncells, b ** 3)]
-            right = vals_pad[
-                jnp.concatenate([jnp.full((1,), 0, jnp.int32),
-                                 nslot + 1])].reshape(-1, 8)
+            nvals = vals_pad[
+                jnp.concatenate([jnp.full((1,), 0, jnp.int32), nslot + 1])]
+            halo_strips = jnp.concatenate(
+                [vals_pad.reshape(nhalo + 1, 64, 8),
+                 nvals.reshape(nhalo + 1, 64, 8)], axis=-1).reshape(-1, 16)
 
             # rays of this device's image columns
             w_loc = w // d
@@ -380,7 +381,7 @@ def make_dist_step(mesh: Mesh, geom: MapGeometry, field, *, frame_size,
 
             (vx, vy, vz, nx, ny, nz, hit, ok, overflow) = \
                 raycast.raycast_rays(geom, field, origin, dx, dy, dz, mu,
-                                     nav=nav, strips=(left, right),
+                                     nav=nav, strips=halo_strips,
                                      prime_t=prime)
             vertex = jnp.stack([jnp.where(hit, vx, 0.0),
                                 jnp.where(hit, vy, 0.0),

@@ -9,10 +9,15 @@ synchronous CPU calls); this is the TPU-native execution shape.
 """
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# In-place map updates (donation) save the 150+ MB copy-on-write per
+# frame; SE_TPU_NO_DONATE=1 opts out (diagnostic).
+_DONATE = () if os.environ.get("SE_TPU_NO_DONATE") == "1" else ("state",)
 
 from supereight_tpu import constants as C
 from supereight_tpu.core import se3
@@ -32,15 +37,19 @@ class FrameState(NamedTuple):
 
 def init_frame_state(geom, field, frame_size, init_pose):
     from supereight_tpu.core.map import make_map
+    import numpy as np
     w, h = frame_size
-    p = jnp.asarray(init_pose, jnp.float32)
+    # distinct device buffers per leaf (np -> device transfer): identical
+    # jnp.zeros constants may share one buffer, which frame_step's state
+    # donation would otherwise try to donate twice
+    p = jnp.asarray(np.asarray(init_pose, np.float32))
     return FrameState(
         map=make_map(geom, field),
         pose=p,
-        raycast_pose=p,
-        vertex=jnp.zeros((h, w, 3), jnp.float32),
-        normal=jnp.zeros((h, w, 3), jnp.float32),
-        valid=jnp.zeros((h, w), bool),
+        raycast_pose=jnp.asarray(np.asarray(init_pose, np.float32)),
+        vertex=jnp.asarray(np.zeros((h, w, 3), np.float32)),
+        normal=jnp.asarray(np.zeros((h, w, 3), np.float32)),
+        valid=jnp.asarray(np.zeros((h, w), bool)),
     )
 
 
@@ -63,7 +72,10 @@ def integration_budget(geom, n_blocks: int) -> int:
     static_argnames=("geom", "field", "frame_size", "iterations",
                      "mu", "icp_threshold", "neg_y", "filter_input",
                      "use_gt_pose", "integration_rate", "tracking_rate",
-                     "budget", "depth_interp"))
+                     "budget", "depth_interp"),
+    # the 150+ MB map pool updates in place instead of copy-on-write
+    # (callers consume the state exactly once per frame)
+    donate_argnames=_DONATE)
 def frame_step(geom, field, state: FrameState, depth_m, k, frame,
                gt_pose=None, *,
                frame_size, iterations,
