@@ -205,7 +205,8 @@ def main(argv=None):
     fps = frame / wall if wall > 0 else 0.0
     print(f"# frames={frame} wall={wall:.2f}s fps={fps:.2f}", file=sys.stderr)
     drops = {n: int(stats.sum(n)) for n in
-             ("alloc_overflow", "blocks_truncated", "ray_overflow")
+             ("alloc_overflow", "blocks_truncated", "patch_skipped",
+              "ray_overflow")
              if stats.has(n)}
     if drops:
         print("# drop counters (should be 0; nonzero = budgets too small "

@@ -192,16 +192,27 @@ def ofusion_touched_masks(geom, depth, pose, k, mu: float,
 
 
 def allocate_tsdf(geom, state, depth, pose, k, mu: float,
-                  with_stats: bool = False):
-    """Full TSDF allocation step: band march -> block pool update."""
+                  with_stats: bool = False, when=None):
+    """Full TSDF allocation step: band march -> block pool update.
+
+    ``when`` (optional traced bool scalar) masks the whole allocation —
+    the no-cond gating of the fused frame step (see
+    ops/integration.integrate's ``when``): with it False the touched set
+    is empty and the pool is unchanged.
+    """
     touched = tsdf_touched_mask(geom, depth, pose, k, mu)
+    if when is not None:
+        touched = touched & when
     return m.allocate_blocks(geom, state, touched, with_stats=with_stats)
 
 
 def allocate_ofusion(geom, state, depth, pose, k, mu: float,
-                     with_stats: bool = False):
+                     with_stats: bool = False, when=None):
     """Full occupancy allocation step: multi-scale march -> pool + mips."""
     touched, extra = ofusion_touched_masks(geom, depth, pose, k, mu)
+    if when is not None:
+        touched = touched & when
+        extra = tuple(e & when if e is not None else None for e in extra)
     out = m.allocate_blocks(geom, state, touched, with_stats=with_stats)
     state, stats = out if with_stats else (out, None)
     state = m.refresh_mip_alloc(geom, state, state.slot >= 0,

@@ -115,6 +115,88 @@ def _sample_depth(depth, px, py):
     return lane_select(row, xi & 7)
 
 
+_PATCH_LEVELS = 3
+
+
+def _sample_depth_patch(depth, px, py, valid):
+    """Per-BLOCK patch depth fetch — the hot-path form of the nearest
+    sample (same semantics as :func:`_sample_depth`: both read
+    depth[int(pixel)], ref kfusion/mapping_impl.hpp:39-41).
+
+    A block's 512 voxels project into a small pixel bbox, so instead of
+    one gathered row per voxel (budget*512 rows — the r2 integration
+    bottleneck at ~8 ms), fetch one 16-row x 32-px patch per block (32
+    rows) and select per voxel with a one-hot MXU contraction over x
+    plus a 16-wide lane tree over y — measured 2.1 ms vs 7.8 for the
+    per-voxel gather at the bench config, bit-exact where the patch
+    covers (tools/bench_depth_patch.py).
+
+    Blocks whose bbox exceeds the patch (footprint > 25 px wide or
+    > 15 px tall, i.e. closer than ~1.1 m at the bench intrinsics) use
+    the same patch against a 2x- or 4x-subsampled depth mip: those
+    blocks' voxels sample the depth grid at stride 2/4 — a DOCUMENTED
+    deviation (the reference reads the exact pixel); at that range
+    voxel spacing exceeds the stride so the error is bounded by
+    adjacent-pixel depth noise. Voxels outside even the level-2 patch
+    (camera inside the block, ~never) are returned not-in-patch and the
+    caller skips their update and counts them.
+
+    Returns (depth_sample [budget, 512], in_patch [budget, 512]).
+    """
+    h, w = depth.shape
+    tables, offs, wss, hs = [], [], [], []
+    off = 0
+    for lv in range(_PATCH_LEVELS):
+        d = depth[:: 1 << lv, :: 1 << lv]
+        hl, wl = d.shape
+        ws = (wl + 7) // 8
+        tables.append(_depth_strips16(d))
+        offs.append(off)
+        wss.append(ws)
+        hs.append(hl)
+        off += hl * ws
+    table = jnp.concatenate(tables, 0)
+
+    xi = jnp.clip(px.astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(py.astype(jnp.int32), 0, h - 1)
+    big = 1 << 20
+    x0 = jnp.min(jnp.where(valid, xi, big), axis=1)
+    x1 = jnp.max(jnp.where(valid, xi, -1), axis=1)
+    y0 = jnp.min(jnp.where(valid, yi, big), axis=1)
+    y1 = jnp.max(jnp.where(valid, yi, -1), axis=1)
+    dx = x1 - x0
+    dy = y1 - y0
+    lvl = jnp.where((dx > 50) | (dy > 31), 2,
+                    jnp.where((dx > 25) | (dy > 15), 1, 0))
+
+    def sel(vs):
+        return jnp.asarray(vs, jnp.int32)[lvl]
+
+    ws_l = sel(wss)
+    h_l = sel(hs)
+    off_l = sel(offs)
+    xl0 = jnp.clip(x0, 0, w - 1) >> lvl
+    yl0 = jnp.clip(y0, 0, h - 1) >> lvl
+    s0 = jnp.clip(xl0 >> 3, 0, ws_l - 3)
+    yc0 = jnp.clip(yl0, 0, h_l - 16)
+    ys = yc0[:, None] + jnp.arange(16, dtype=jnp.int32)[None]
+    rid = off_l[:, None] + ys * ws_l[:, None] + s0[:, None]
+    rows0 = table[rid]                                 # [budget, 16, 16]
+    rows1 = table[rid + 2]
+    patch = jnp.concatenate([rows0, rows1], axis=-1)   # [budget, 16, 32]
+    xx = (xi >> lvl[:, None]) - (s0 << 3)[:, None]
+    yy = (yi >> lvl[:, None]) - yc0[:, None]
+    in_patch = (xx >= 0) & (xx < 32) & (yy >= 0) & (yy < 16)
+    # one-hot x contraction: exact selection (operand is exactly 0/1;
+    # HIGHEST keeps the f32 depth bits — measured maxerr 0)
+    onex = (xx[..., None] == jnp.arange(32, dtype=jnp.int32)[None, None]
+            ).astype(jnp.float32)
+    rowv = jnp.einsum("bvx,byx->bvy", onex, patch,
+                      precision=jax.lax.Precision.HIGHEST)
+    val = lane_select(rowv, jnp.clip(yy, 0, 15))
+    return val, in_patch
+
+
 def _depth_strips16(depth):
     """[h*ws, 16] rows: 8 pixels of a strip + the 8 of the next strip,
     so an (x, x+1) bilinear pair is one row fetch (same trick as
@@ -186,7 +268,7 @@ def _field_update(field, old_x, old_y, pos_cam, depth_sample, valid, *,
                                     "depth_interp", "with_stats"))
 def integrate(geom, state, field, depth, pose, k, mu, timestamp,
               frame_size, budget: int = 8192, depth_interp: bool = False,
-              with_stats: bool = False):
+              with_stats: bool = False, when=None):
     """One fusion pass: block update + node (mip) update
     (ref projective_functor::apply, projective_functor.hpp:139-156).
 
@@ -199,6 +281,13 @@ def integrate(geom, state, field, depth, pose, k, mu, timestamp,
 
     ``depth_interp`` switches the fusion depth sample to the bilinear
     inverse-depth filter (see :func:`_sample_depth_bilinear`).
+
+    ``when`` (optional traced bool scalar) masks ALL map writes: the
+    fused frame step gates integration on tracking success per the
+    reference's rate gates (DenseSLAMSystem.cpp:206-212), and masking
+    the scatters instead of wrapping the call in ``lax.cond`` lets XLA
+    alias the donated pool buffers (a cond branch forces a full
+    copy-on-write of the 150+ MB pool — measured ~4 ms/frame).
     """
     t_cw = se3.inverse(pose)
     K = se3.camera_matrix(k)
@@ -213,6 +302,8 @@ def integrate(geom, state, field, depth, pose, k, mu, timestamp,
     wl, n_active = build_active_worklist(geom, state, t_cw, K, frame_size,
                                          budget)
     present = wl < cap
+    if when is not None:
+        present = present & when
     slots = jnp.minimum(wl, cap - 1)
 
     vs = geom.voxel_size
@@ -225,8 +316,11 @@ def integrate(geom, state, field, depth, pose, k, mu, timestamp,
     valid = valid & present[:, None]
     if depth_interp:
         depth_sample = _sample_depth_bilinear(depth, px, py)
+        patch_skipped = jnp.int32(0)
     else:
-        depth_sample = _sample_depth(depth, px, py)
+        depth_sample, in_patch = _sample_depth_patch(depth, px, py, valid)
+        patch_skipped = jnp.sum((valid & ~in_patch).astype(jnp.int32))
+        valid = valid & in_patch
 
     old_x = state.data_x[slots]
     old_y = state.data_y[slots]
@@ -260,6 +354,8 @@ def integrate(geom, state, field, depth, pose, k, mu, timestamp,
         (cx, cy, cz), px, py, valid = _project_voxels_c(
             geom, wx, wy, wz, t_cw, K, frame_size)
         valid = valid & state.mip_alloc[lvl]
+        if when is not None:
+            valid = valid & when
         ds = _sample_depth(depth, px, py)
         nx, ny, _ = _field_update(field, state.mip_x[lvl], state.mip_y[lvl],
                                   (cx, cy, cz), ds, valid, mu=mu,
@@ -271,5 +367,9 @@ def integrate(geom, state, field, depth, pose, k, mu, timestamp,
     state = state._replace(mip_x=tuple(new_mips_x), mip_y=tuple(new_mips_y))
     if with_stats:
         truncated = jnp.maximum(n_active - budget, 0)
-        return state, {"blocks_truncated": truncated}
+        if when is not None:
+            truncated = jnp.where(when, truncated, 0)
+            patch_skipped = jnp.where(when, patch_skipped, 0)
+        return state, {"blocks_truncated": truncated,
+                       "patch_skipped": patch_skipped}
     return state

@@ -133,7 +133,7 @@ def coarse_cell_grid(geom, state):
     return val, have
 
 
-def build_nav(geom, state, field=None):
+def build_nav(geom, state, field=None, bucket=None):
     """i32 [B^3] navigation grid, ONE gather per probe decodes everything.
 
     * allocated cells: the pool slot (>= 0);
@@ -161,15 +161,32 @@ def build_nav(geom, state, field=None):
         known_free = have & (cval <= SURF_BOUNDARY)
         q = jnp.round(jnp.clip(-cval, 0.0, 1000.0) * 16.0).astype(jnp.int32)
         e = e + jnp.where(known_free, 8 + (q << 4), 0)
-    return jnp.where(state.slot >= 0, state.slot, -(1 + e)).reshape(-1)
+    ok = state.slot >= 0
+    if bucket is not None and bucket < geom.capacity:
+        # slots beyond the strips bucket have no table row: read as
+        # UNKNOWN (e stays 0 for them -> fine 1-block steps) rather than
+        # fetching another block's strip. The fused step sizes the
+        # bucket above the live count, so this only guards mid-frame
+        # growth past the bucket.
+        ok = ok & (state.slot < bucket)
+    return jnp.where(ok, state.slot, -(1 + e)).reshape(-1)
 
 
-def build_strips(geom, state, field):
-    """bf16 [(cap+1)*64, 16] marching/interp strips: each row is a
+def build_strips(geom, state, field, bucket=None):
+    """bf16 [(bucket+1)*64, 16] marching/interp strips: each row is a
     brick's x-line (lanes 0-7, strip id y + 8z) concatenated with the
     NEXT-x brick's same x-line (lanes 8-15; sentinel at map edge /
     unallocated), so both a march probe and an (x, x+1) trilinear pair
     are ONE row fetch. Row block 0 is the sentinel "unallocated" brick.
+
+    ``bucket`` (static, default capacity) bounds the table to the first
+    ``bucket`` pool slots: the pool allocates slots monotonically
+    (core/map.py bump allocation) so every live slot is < n_blocks, and
+    build cost scales with the table height — building over the full
+    36864-slot capacity costs ~6.7 ms/frame at 512^3 while an 8192
+    bucket costs ~1.5 ms. Callers must pass a bucket >= n_blocks (the
+    fused step derives both this and the integration worklist budget
+    from the live block count, parallel/step.integration_budget).
 
     (An 8-lane two-table split was measured end to end in r3: it halves
     nothing — the dominant cost is the layout copy XLA inserts to put
@@ -184,18 +201,18 @@ def build_strips(geom, state, field):
     652-737) AND the stored value of never-updated voxels. bf16
     storage adds <1 mm surface noise (documented deviation).
     """
-    cap = geom.capacity
+    cap = geom.capacity if bucket is None else min(bucket, geom.capacity)
     b = geom.blocks_per_side
     unk = _sentinel(field)
-    vals = jnp.where(state.data_y == 0, unk,
-                     state.data_x).astype(jnp.bfloat16)
+    vals = jnp.where(state.data_y[:cap] == 0, unk,
+                     state.data_x[:cap]).astype(jnp.bfloat16)
     vals = jnp.concatenate(
         [jnp.full((1, vals.shape[1]), unk, jnp.bfloat16), vals])
 
     # next-x brick slot per pool slot (edge / unallocated -> sentinel)
-    bx = state.block_coord[:, 0] + 1
-    by = state.block_coord[:, 1]
-    bz = state.block_coord[:, 2]
+    bx = state.block_coord[:cap, 0] + 1
+    by = state.block_coord[:cap, 1]
+    bz = state.block_coord[:cap, 2]
     inb = bx < b
     nslot = state.slot.reshape(-1)[
         (jnp.clip(bx, 0, b - 1) * b + by) * b + bz]
@@ -328,18 +345,21 @@ def _compact(n, budget, mask):
 # even with zero live rays (rolled-loop gathers pay a flat slow-path
 # cost — CLAUDE.md perf laws), 25 ms for an always-skipped tail, while
 # an unrolled 48-step straggler stage at 1/48 budget costs ~1 ms.
-# Budgets sized from measured live-ray decay with ~2x headroom; live
+# Budgets sized from measured live-ray decay with 1.1-2x headroom; live
 # rays beyond a stage budget miss for the frame AND are counted in the
 # ray_overflow stat, so an undersized budget is observable rather than
-# silent. Field-specific: TSDF sphere-traces (fast decay —
-# tools/march_live_counts.py: primed 19% live after 6 steps, 1.3% after
-# 16, 0 by 48; cold 30% after 16, 0.2% by 32); OFusion 1-voxel-crawls
-# the surface-band blocks so it decays slower (measured cold decay on
-# the room scene: 39% after 16, 6% after 32, 0 by ~56).
-_CASCADE_PRIMED_TSDF = ((4, 1.0), (12, 1.0 / 4.0), (32, 1.0 / 24.0),
-                        (48, 1.0 / 48.0))
-_CASCADE_COLD_TSDF = ((16, 1.0), (16, 1.0 / 3.0), (32, 1.0 / 48.0),
-                      (48, 1.0 / 96.0))
+# silent. Cost of a cascade = sum(budget_i * steps_i) probe rows
+# (substages are unrolled — every lane pays every step). TSDF decay
+# measured on the warm bench scene (tools/march_live_counts.py, r3):
+# primed live of 76.8k rays: 49% after 2 steps, 27% after 4, 13.5%
+# after 6, 2% after 12, 0.15% after 24, 0 by 48; cold: 60% after 6,
+# 31% after 12, 8.8% after 24, 0.2% by 32. OFusion 1-voxel-crawls the
+# surface-band blocks so it decays slower (measured cold: 39% after
+# 16, 6% after 32, 0 by ~56).
+_CASCADE_PRIMED_TSDF = ((3, 1.0), (3, 0.55), (6, 0.18), (16, 1.0 / 24.0),
+                        (36, 1.0 / 64.0))
+_CASCADE_COLD_TSDF = ((6, 1.0), (6, 0.70), (12, 0.36), (12, 0.12),
+                      (28, 1.0 / 32.0))
 _CASCADE_PRIMED_OF = ((4, 1.0), (12, 1.0 / 2.0), (32, 1.0 / 8.0),
                       (48, 1.0 / 24.0))
 _CASCADE_COLD_OF = ((16, 1.0), (16, 1.0 / 2.0), (32, 1.0 / 8.0),
@@ -348,7 +368,7 @@ _CASCADE_COLD_OF = ((16, 1.0), (16, 1.0 / 2.0), (32, 1.0 / 8.0),
 
 def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
            step, largestep, max_steps, nav=None, strips=None,
-           prime_t=None):
+           prime_t=None, pool_bucket=None):
     """Lockstep field march, TSDF sphere tracing or occupancy stepping.
 
     TSDF behavior of kfusion/rendering_impl.hpp:34-74 (marching on
@@ -371,9 +391,9 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     unk = _sentinel(field)
     is_tsdf = field.name == "tsdf"
     if nav is None:
-        nav = build_nav(geom, state, field)
+        nav = build_nav(geom, state, field, bucket=pool_bucket)
     if strips is None:
-        strips = build_strips(geom, state, field)
+        strips = build_strips(geom, state, field, bucket=pool_bucket)
     bstep = BLOCK_SIDE * geom.voxel_size
     fill = 1.0 if is_tsdf else 0.0
 
@@ -534,10 +554,11 @@ def prime_from_depth(depth, k):
 
 
 @functools.partial(jax.jit, static_argnames=("geom", "field", "frame_size",
-                                             "max_steps", "with_stats"))
+                                             "max_steps", "with_stats",
+                                             "pool_bucket"))
 def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
             near=NEAR_PLANE, far=FAR_PLANE, prime_t=None,
-            with_stats=False):
+            with_stats=False, pool_bucket=None):
     """Produce vertex/normal/valid maps for tracking and rendering
     (ref raycastKernel, rendering.cpp:50-90).
 
@@ -559,7 +580,8 @@ def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
 
     (vx, vy, vz, nx, ny, nz, hit, ok, overflow) = raycast_rays(
         geom, field, origin, dx, dy, dz, mu, state=state,
-        max_steps=max_steps, near=near, far=far, prime_t=prime_t)
+        max_steps=max_steps, near=near, far=far, prime_t=prime_t,
+        pool_bucket=pool_bucket)
 
     vertex = jnp.stack([jnp.where(hit, vx, 0.0),
                         jnp.where(hit, vy, 0.0),
@@ -572,7 +594,7 @@ def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
 
 def raycast_rays(geom, field, origin, dx, dy, dz, mu, state=None,
                  nav=None, strips=None, max_steps=None, near=NEAR_PLANE,
-                 far=FAR_PLANE, prime_t=None):
+                 far=FAR_PLANE, prime_t=None, pool_bucket=None):
     """Ray-level raycast core over flat direction arrays: march + Newton
     refinement + gradient normals. Either ``state`` or prebuilt
     (``nav``, ``strips``) must be given — the sharded pipeline passes the
@@ -589,7 +611,8 @@ def raycast_rays(geom, field, origin, dx, dy, dz, mu, state=None,
 
     t1, t_cross, ss, hit, overflow, nav, strips = _march(
         geom, state, field, origin, dx, dy, dz, tnear, tfar, mu, step,
-        largestep, max_steps, nav=nav, strips=strips, prime_t=prime_t)
+        largestep, max_steps, nav=nav, strips=strips, prime_t=prime_t,
+        pool_bucket=pool_bucket)
 
     # Newton refinement + normal from ONE trilinear fetch set: value and
     # cell gradient at the bracket estimate; step along the ray to the

@@ -114,43 +114,50 @@ def frame_step(geom, field, state: FrameState, depth_m, k, frame,
         tracked = jnp.where(do_track, tracked_t, False)
 
     # ---- integration --------------------------------------------------
+    # no-cond gating: the reference's tracked/rate gate
+    # (DenseSLAMSystem.cpp:206-212) is applied by MASKING the map writes
+    # (``when``) instead of lax.cond — a cond branch cannot alias the
+    # donated pool buffers, so XLA inserted a full pool copy-on-write
+    # (~4 ms/frame at 512^3) on every integrated frame.
     do_integrate = (tracked | (frame <= 3)) \
         & (((frame % integration_rate) == 0) | (frame <= 3))
 
-    def integrate_branch(m_state):
-        if field.multiscale_alloc:
-            m2, astats = allocation.allocate_ofusion(
-                geom, m_state, depths[0], pose, k, mu, with_stats=True)
-        else:
-            m2, astats = allocation.allocate_tsdf(
-                geom, m_state, depths[0], pose, k, mu, with_stats=True)
-        m3, istats = integration.integrate(
-            geom, m2, field, depth_m, pose, k, mu,
-            (1.0 / 30.0) * frame.astype(jnp.float32), frame_size,
-            budget=budget, depth_interp=depth_interp, with_stats=True)
-        return m3, astats["alloc_overflow"], istats["blocks_truncated"]
-
-    new_map, alloc_overflow, blocks_truncated = jax.lax.cond(
-        do_integrate, integrate_branch,
-        lambda m_state: (m_state, jnp.int32(0), jnp.int32(0)), state.map)
+    if field.multiscale_alloc:
+        m2, astats = allocation.allocate_ofusion(
+            geom, state.map, depths[0], pose, k, mu, with_stats=True,
+            when=do_integrate)
+    else:
+        m2, astats = allocation.allocate_tsdf(
+            geom, state.map, depths[0], pose, k, mu, with_stats=True,
+            when=do_integrate)
+    new_map, istats = integration.integrate(
+        geom, m2, field, depth_m, pose, k, mu,
+        (1.0 / 30.0) * frame.astype(jnp.float32), frame_size,
+        budget=budget, depth_interp=depth_interp, with_stats=True,
+        when=do_integrate)
+    alloc_overflow = astats["alloc_overflow"]
+    blocks_truncated = istats["blocks_truncated"]
 
     # ---- raycast ------------------------------------------------------
-    def raycast_branch(_):
-        view = jnp.matmul(pose, se3.inverse_camera_matrix(k),
-                          precision=jax.lax.Precision.HIGHEST)
-        # the raycast pose IS this frame's pose, so the depth frame
-        # primes the march (raycast.prime_from_depth)
-        prime = raycast.prime_from_depth(depth_m, k)
-        return raycast.raycast(geom, new_map, field, view, mu, frame_size,
-                               prime_t=prime, with_stats=True)
-
-    def keep_maps(_):
-        return (state.vertex, state.normal, state.valid,
-                {"ray_overflow": jnp.int32(0)})
+    # no-cond here either: the march cascade is UNROLLED on TPU so the
+    # branch costs the same whether 0 or 76.8k rays are live — running
+    # it on the 3 bootstrap frames too (outputs masked below) is cheaper
+    # than a lax.cond blocking XLA's buffer aliasing for every frame.
+    view = jnp.matmul(pose, se3.inverse_camera_matrix(k),
+                      precision=jax.lax.Precision.HIGHEST)
+    # the raycast pose IS this frame's pose, so the depth frame
+    # primes the march (raycast.prime_from_depth)
+    prime = raycast.prime_from_depth(depth_m, k)
+    r_vertex, r_normal, r_valid, rstats = raycast.raycast(
+        geom, new_map, field, view, mu, frame_size,
+        prime_t=prime, with_stats=True, pool_bucket=budget)
 
     do_raycast = frame > 2
-    vertex, normal, valid, rstats = jax.lax.cond(
-        do_raycast, raycast_branch, keep_maps, None)
+    vertex = jnp.where(do_raycast, r_vertex, state.vertex)
+    normal = jnp.where(do_raycast, r_normal, state.normal)
+    valid = jnp.where(do_raycast, r_valid, state.valid)
+    rstats = {"ray_overflow": jnp.where(do_raycast,
+                                        rstats["ray_overflow"], 0)}
     raycast_pose = jnp.where(do_raycast, pose, state.raycast_pose)
 
     new_state = FrameState(map=new_map, pose=pose,
@@ -161,5 +168,6 @@ def frame_step(geom, field, state: FrameState, depth_m, k, frame,
            "n_blocks": new_map.n_blocks,
            "alloc_overflow": alloc_overflow,
            "blocks_truncated": blocks_truncated,
+           "patch_skipped": istats["patch_skipped"],
            "ray_overflow": rstats["ray_overflow"]}
     return new_state, aux

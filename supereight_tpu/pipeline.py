@@ -162,7 +162,8 @@ class DenseSLAMSystem:
             self._budget_bucket(), depth_interp=self.config.depth_interp,
             with_stats=True)
         self.stats = dict(self.stats, alloc_overflow=astats["alloc_overflow"],
-                          blocks_truncated=istats["blocks_truncated"])
+                          blocks_truncated=istats["blocks_truncated"],
+                          patch_skipped=istats.get("patch_skipped", 0))
         return True
 
     def raycasting(self, frame: int) -> bool:
@@ -175,7 +176,8 @@ class DenseSLAMSystem:
         prime = raycast.prime_from_depth(self.float_depth, self.k)
         self.vertex, self.normal, self.valid, rstats = raycast.raycast(
             self.geom, self.map, self.field, view, self.config.mu,
-            self.computation_size, prime_t=prime, with_stats=True)
+            self.computation_size, prime_t=prime, with_stats=True,
+            pool_bucket=self._budget_bucket())
         self.stats = dict(self.stats, ray_overflow=rstats["ray_overflow"])
         return True
 

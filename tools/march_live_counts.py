@@ -1,5 +1,6 @@
-"""How many rays are still marching after each cascade stage?
-(sizes the cascade budgets; uses the real primed bench scene)"""
+"""How many rays are still marching after each step?
+(sizes the cascade budgets; uses the real primed bench scene and the
+CURRENT _march start logic — two-phase tight/big primed backoff)"""
 
 import os
 import sys
@@ -35,6 +36,7 @@ def main():
         m = integration.integrate(geom, m, field, d, p, kj, 0.1, 0.0,
                                   (W, H))
     jax.block_until_ready(m)
+    print(f"blocks: {int(m.n_blocks)}", file=sys.stderr)
 
     p = jnp.asarray(poses[5], jnp.float32)
     d = jnp.asarray(depths[5])
@@ -43,68 +45,83 @@ def main():
     dxi, dyi, dzi = raycast.ray_directions_c(view, W, H)
     dx, dy, dz = dxi.reshape(-1), dyi.reshape(-1), dzi.reshape(-1)
     origin = view[:3, 3]
-    tnear, tfar = raycast.ray_box_range_c(origin, dx, dy, dz, geom.dim)
-    for primed in (True, False):
-        tn = tnear
-        if primed:
-            prime = raycast.prime_from_depth(d, kj)
-            backoff = 0.2 + 2.0 * geom.voxel_size
-            tn = jnp.where(prime > 0, jnp.maximum(tnear, prime - backoff),
-                           tnear)
+    tnear0, tfar = raycast.ray_box_range_c(origin, dx, dy, dz, geom.dim)
+    mu = 0.1
+    unk = raycast._sentinel(field)
+    step = geom.voxel_size
+    largestep = step * 8
+    bstep = largestep
 
-        nav = raycast.build_nav(geom, m)
-        strips = raycast.build_strips(geom, m, field)
-        unk = raycast._sentinel(field)
+    nav = raycast.build_nav(geom, m)
+    strips = raycast.build_strips(geom, m, field, bucket=8192)
 
-        @jax.jit
-        def counts(nav, strips, tn, tfar):
-            n = tn.shape[0]
-            t = tn + 0.0
-            ss = jnp.full((n,), 0.075)
-            f_t = jnp.full((n,), jnp.inf)
-            f_tt = jnp.zeros((n,))
-            f0, known0, _ = raycast._probe(geom, nav, strips, unk,
-                                           origin[0] + dx * tn,
-                                           origin[1] + dy * tn,
-                                           origin[2] + dz * tn)
-            v0 = jnp.where(known0, f0, 1.0)
-            go = (tn < tfar) & (v0 > 0)
-            status = jnp.where(go, 0, 2).astype(jnp.int32)
-            out = []
-            c = (t, ss, f_t, f_tt, status)
+    @jax.jit
+    def counts(tnear, prime_t):
+        n = tnear.shape[0]
+        if prime_t is not None:
+            big = 2.0 * mu + 2.0 * geom.voxel_size
+            small = 0.5 * mu + 2.0 * geom.voxel_size
+            t_tight = jnp.where(prime_t > 0,
+                                jnp.maximum(tnear, prime_t - small), tnear)
+            ft, kt, _, _ = raycast._probe(geom, nav, strips, unk,
+                                          origin[0] + dx * t_tight,
+                                          origin[1] + dy * t_tight,
+                                          origin[2] + dz * t_tight)
+            ok_tight = kt & (ft > 0)
+            tnear = jnp.where(ok_tight, t_tight,
+                              jnp.where(prime_t > 0,
+                                        jnp.maximum(tnear, prime_t - big),
+                                        tnear))
+        f0, known0, _, _ = raycast._probe(geom, nav, strips, unk,
+                                          origin[0] + dx * tnear,
+                                          origin[1] + dy * tnear,
+                                          origin[2] + dz * tnear)
+        v0 = jnp.where(known0, f0, 1.0)
+        go = (tnear < tfar) & (v0 > 0)
+        status = jnp.where(go, 0, 2).astype(jnp.int32)
 
-            def one(c):
-                t, ss, f_t, f_tt, status = c
-                mx, known, dist = raycast._probe(
-                    geom, nav, strips, unk,
-                    origin[0] + dx * t, origin[1] + dy * t,
-                    origin[2] + dz * t)
-                active = status == 0
-                crossed = mx < 0
-                hit = active & known & crossed
-                f_tt = jnp.where(active & known, mx, f_tt)
-                f_t = jnp.where(active & known & ~hit, mx, f_t)
-                known_step = jnp.maximum(f_tt * 0.1, geom.voxel_size)
-                jump = jnp.maximum(0.075, jnp.maximum(dist - 1, 0.0) * 0.075
-                                   + 0.0375)
-                new_ss = jnp.where(known, known_step, jump)
-                adv = active & ~hit
-                ss = jnp.where(adv, new_ss, ss)
-                t = jnp.where(adv, t + ss, t)
-                status = jnp.where(hit, 1, status)
-                status = jnp.where(adv & (t >= tfar), 2, status)
-                return (t, ss, f_t, f_tt, status)
+        t = tnear + 0.0
+        ss = jnp.full((n,), largestep)
+        f_t = jnp.full((n,), jnp.inf)
+        f_tt = jnp.zeros((n,))
 
-            marks = {3, 4, 5, 6, 8, 12, 16, 24, 32, 48, 64}
-            for i in range(1, 65):
-                c = one(c)
-                if i in marks:
-                    out.append(jnp.sum(c[4] == 0))
-            return jnp.stack(out)
+        def one(c):
+            t, ss, f_t, f_tt, status = c
+            mx, known, dist, in_block = raycast._probe(
+                geom, nav, strips, unk,
+                origin[0] + dx * t, origin[1] + dy * t,
+                origin[2] + dz * t)
+            active = status == 0
+            crossed = mx < 0
+            hit = active & known & crossed
+            f_tt = jnp.where(active & known, mx, f_tt)
+            f_t = jnp.where(active & known & ~hit, mx, f_t)
+            known_step = jnp.maximum(f_tt * mu, step)
+            jump = jnp.maximum(largestep,
+                               jnp.maximum(dist - 1, 0.0) * bstep
+                               + 0.5 * largestep)
+            new_ss = jnp.where(known, known_step, jump)
+            adv = active & ~hit
+            ss = jnp.where(adv, new_ss, ss)
+            t = jnp.where(adv, t + ss, t)
+            status = jnp.where(hit, 1, status)
+            status = jnp.where(adv & (t >= tfar), 2, status)
+            return (t, ss, f_t, f_tt, status)
 
-        cs = counts(nav, strips, tn, tfar)
-        print(("primed" if primed else "cold  "),
-              [int(x) for x in cs], flush=True)
+        marks = {1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 24, 32, 48, 64, 96}
+        out = []
+        c = (t, ss, f_t, f_tt, status)
+        for i in range(1, 97):
+            c = one(c)
+            if i in marks:
+                out.append(jnp.sum(c[4] == 0))
+        return jnp.stack(out)
+
+    prime = raycast.prime_from_depth(d, kj)
+    for name, pt in (("primed", prime), ("cold  ", None)):
+        cs = counts(tnear0, pt)
+        marks = [1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 24, 32, 48, 64, 96]
+        print(name, {mk: int(x) for mk, x in zip(marks, cs)}, flush=True)
 
 
 if __name__ == "__main__":
