@@ -267,8 +267,25 @@ def _probe(geom, nav, strips, unk, px, py, pz):
     return val, known, dist, in_block
 
 
-def _interp_grad(geom, nav, strips, unk, fill, px, py, pz):
-    """Trilinear value AND cell gradient from ONE 4-row fetch set.
+def build_nav4(nav, blocks_per_side: int):
+    """[B^3, 4] neighbour-pair nav table: row c = (nav[c], nav[c+1],
+    nav[c+b], nav[c+b+1]) — the four (y, z) corner CELLS a trilinear
+    stencil can touch (cell layout is z-minor, y next: +1 = z neighbour,
+    +b = y neighbour). One row fetch replaces the four nav gathers of
+    the refinement stencil (out-of-range shifts read -1 = unallocated).
+    """
+    b = blocks_per_side
+
+    def shift(a, s):
+        return jnp.concatenate([a[s:], jnp.full((s,), -1, a.dtype)])
+
+    return jnp.stack([nav, shift(nav, 1), shift(nav, b), shift(nav, b + 1)],
+                     axis=-1)
+
+
+def _interp_grad(geom, nav4, strips, unk, fill, px, py, pz):
+    """Trilinear value AND cell gradient from a 5-row fetch set: ONE
+    nav4 row (all four stencil cells) + four strip rows.
 
     px/py/pz are continuous VOXEL coordinates. Returns
     (value, gx, gy, gz) with the gradient in per-voxel units — the exact
@@ -289,9 +306,14 @@ def _interp_grad(geom, nav, strips, unk, fill, px, py, pz):
     iz1 = jnp.minimum(iz0 + 1, size - 1)
     lane = ix & 7
 
-    def pair(yk, zk):
-        cell, strip = _cell_and_strip(geom, ix, yk, zk)
-        nv = nav[cell]
+    cell00, _ = _cell_and_strip(geom, ix, iy0, iz0)
+    row4 = nav4[cell00]                                   # [..., 4]
+    ycross = ((iy0 & 7) == 7) & (iy1 != iy0)
+    zcross = ((iz0 & 7) == 7) & (iz1 != iz0)
+    cl = (ycross.astype(jnp.int32) << 1) | zcross.astype(jnp.int32)
+
+    def pair(yk, zk, nv):
+        strip = (yk & 7) + ((zk & 7) << 3)
         row = strips[(jnp.maximum(nv, -1) + 1) * 64 + strip]  # [..., 16]
         v0 = lane_select(row, lane).astype(jnp.float32)
         # x+1: lane + 1 — crossing into lane 8 picks the next-x brick's
@@ -301,10 +323,10 @@ def _interp_grad(geom, nav, strips, unk, fill, px, py, pz):
         v1 = jnp.where(v1 < 0.5 * unk, v1, fill)
         return v0, v1
 
-    v000, v100 = pair(iy0, iz0)
-    v010, v110 = pair(iy1, iz0)
-    v001, v101 = pair(iy0, iz1)
-    v011, v111 = pair(iy1, iz1)
+    v000, v100 = pair(iy0, iz0, row4[..., 0])
+    v010, v110 = pair(iy1, iz0, lane_select(row4, cl & 2))
+    v001, v101 = pair(iy0, iz1, lane_select(row4, cl & 1))
+    v011, v111 = pair(iy1, iz1, lane_select(row4, cl))
 
     # x-lerped corner values of the (y, z) face
     c00 = v000 * (1 - fx) + v100 * fx
@@ -622,7 +644,8 @@ def raycast_rays(geom, field, origin, dx, dy, dz, mu, state=None,
     iv = geom.inv_voxel_size
     unk = _sentinel(field)
     fill = 1.0 if field.name == "tsdf" else 0.0
-    v1, gx, gy, gz = _interp_grad(geom, nav, strips, unk, fill,
+    nav4 = build_nav4(nav, geom.blocks_per_side)
+    v1, gx, gy, gz = _interp_grad(geom, nav4, strips, unk, fill,
                                   (origin[0] + dx * t1) * iv,
                                   (origin[1] + dy * t1) * iv,
                                   (origin[2] + dz * t1) * iv)

@@ -81,9 +81,10 @@ def main():
     hx = (origin[0] + dx * 2.0) * iv
     hy = (origin[1] + dy * 2.0) * iv
     hz = (origin[2] + dz * 2.0) * iv
+    nav4 = raycast.build_nav4(nav, geom.blocks_per_side)
     ig = jax.jit(lambda nv, ist, a, b, c: raycast._interp_grad(
         geom, nv, ist, unk, 1.0, a, b, c))
-    ms = timed(ig, nav, strips, hx, hy, hz, tag="ig")
+    ms = timed(ig, nav4, strips, hx, hy, hz, tag="ig")
     print(f"interp_grad:     {ms:8.3f} ms ({ms/N*1e6:5.1f} ns/pt)")
 
     bn = jax.jit(lambda mm: raycast.build_nav(geom, mm))

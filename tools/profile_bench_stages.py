@@ -145,8 +145,9 @@ def main():
     hy = (origin[1] + dy * 2.0) * geom.inv_voxel_size
     hz = (origin[2] + dz * 2.0) * geom.inv_voxel_size
     sent = raycast._sentinel(field)
+    nav4 = raycast.build_nav4(nav, geom.blocks_per_side)
     ig = jax.jit(functools.partial(raycast._interp_grad, geom))
-    piece("interp+grad", ig, nav, strips, sent, 1.0, hx, hy, hz)
+    piece("interp+grad", ig, nav4, strips, sent, 1.0, hx, hy, hz)
 
     rcp = jax.jit(lambda ms_, v, pt: raycast.raycast(
         geom, ms_, field, v, 0.1, (W, H), prime_t=pt))
