@@ -106,7 +106,7 @@ def main():
         - poses[N_WARMUP + N_FRAMES - 1][:3, 3]))
     drops = {k: int(aux[k]) for k in
              ("alloc_overflow", "blocks_truncated", "patch_skipped",
-              "ray_overflow")}
+              "ray_overflow", "pool_bucket_overflow")}
 
     # fps from a short TRACED window on the now-steady-state map
     # (tracing the whole sequence stalls the remote profiler)

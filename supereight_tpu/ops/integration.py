@@ -116,6 +116,8 @@ def _sample_depth(depth, px, py):
 
 
 _PATCH_LEVELS = 3
+# bound on blocks taking the exact per-voxel fallback gather per frame
+_FALLBACK_BLOCKS = 32
 
 
 def _sample_depth_patch(depth, px, py, valid):
@@ -131,15 +133,20 @@ def _sample_depth_patch(depth, px, py, valid):
     per-voxel gather at the bench config, bit-exact where the patch
     covers (tools/bench_depth_patch.py).
 
-    Blocks whose bbox exceeds the patch (footprint > 25 px wide or
+    Blocks whose bbox exceeds the patch (footprint > 24 px wide or
     > 15 px tall, i.e. closer than ~1.1 m at the bench intrinsics) use
     the same patch against a 2x- or 4x-subsampled depth mip: those
     blocks' voxels sample the depth grid at stride 2/4 — a DOCUMENTED
     deviation (the reference reads the exact pixel); at that range
     voxel spacing exceeds the stride so the error is bounded by
-    adjacent-pixel depth noise. Voxels outside even the level-2 patch
-    (camera inside the block, ~never) are returned not-in-patch and the
-    caller skips their update and counts them.
+    adjacent-pixel depth noise. The x thresholds are the GUARANTEED
+    patch coverage (the 32-lane window is 8-px aligned, wasting up to
+    7 level-px left of the bbox — ADVICE r3), and levels whose mip is
+    too small for the 16x3-strip patch geometry are statically disabled
+    (small computation sizes, ADVICE r3). Voxels still outside every
+    usable patch fall back to the exact per-voxel gather in
+    :func:`integrate` (bounded sub-worklist), so no update is silently
+    coarser than the reference's.
 
     Returns (depth_sample [budget, 512], in_patch [budget, 512]).
     """
@@ -150,12 +157,17 @@ def _sample_depth_patch(depth, px, py, valid):
         d = depth[:: 1 << lv, :: 1 << lv]
         hl, wl = d.shape
         ws = (wl + 7) // 8
+        if hl < 16 or ws < 3:
+            break  # level mip too small for the patch geometry
         tables.append(_depth_strips16(d))
         offs.append(off)
         wss.append(ws)
         hs.append(hl)
         off += hl * ws
+    if not tables:  # depth image too small for any patch level
+        return jnp.zeros(px.shape, depth.dtype), jnp.zeros(px.shape, bool)
     table = jnp.concatenate(tables, 0)
+    n_lv = len(tables)
 
     xi = jnp.clip(px.astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(py.astype(jnp.int32), 0, h - 1)
@@ -166,8 +178,11 @@ def _sample_depth_patch(depth, px, py, valid):
     y1 = jnp.max(jnp.where(valid, yi, -1), axis=1)
     dx = x1 - x0
     dy = y1 - y0
-    lvl = jnp.where((dx > 50) | (dy > 31), 2,
-                    jnp.where((dx > 25) | (dy > 15), 1, 0))
+    lvl = jnp.zeros_like(dx)
+    for i in range(1, n_lv):
+        lvl = jnp.where((dx > (24 << (i - 1))) | (dy > (15 << (i - 1))),
+                        i, lvl)
+    covered = (dx <= (24 << (n_lv - 1))) & (dy <= (15 << (n_lv - 1)))
 
     def sel(vs):
         return jnp.asarray(vs, jnp.int32)[lvl]
@@ -186,7 +201,8 @@ def _sample_depth_patch(depth, px, py, valid):
     patch = jnp.concatenate([rows0, rows1], axis=-1)   # [budget, 16, 32]
     xx = (xi >> lvl[:, None]) - (s0 << 3)[:, None]
     yy = (yi >> lvl[:, None]) - yc0[:, None]
-    in_patch = (xx >= 0) & (xx < 32) & (yy >= 0) & (yy < 16)
+    in_patch = ((xx >= 0) & (xx < 32) & (yy >= 0) & (yy < 16)
+                & covered[:, None])
     # one-hot x contraction: exact selection (operand is exactly 0/1;
     # HIGHEST keeps the f32 depth bits — measured maxerr 0)
     onex = (xx[..., None] == jnp.arange(32, dtype=jnp.int32)[None, None]
@@ -319,6 +335,21 @@ def integrate(geom, state, field, depth, pose, k, mu, timestamp,
         patch_skipped = jnp.int32(0)
     else:
         depth_sample, in_patch = _sample_depth_patch(depth, px, py, valid)
+        # exact per-voxel fallback for blocks with voxels outside every
+        # usable patch (oversized footprint / tiny depth image): compact
+        # those blocks into a bounded sub-worklist and fetch their rows
+        # with the per-voxel strip gather — bit-exact, so only blocks
+        # beyond _FALLBACK_BLOCKS (counted) ever skip fusion.
+        need = jnp.any(valid & ~in_patch, axis=1)
+        fb_budget = min(_FALLBACK_BLOCKS, budget)
+        ids = jnp.arange(budget, dtype=jnp.int32)
+        fvals, _ = jax.lax.top_k(jnp.where(need, budget - ids, 0), fb_budget)
+        fwl = jnp.where(fvals > 0, budget - fvals, -1)
+        fwlc = jnp.maximum(fwl, 0)
+        fb_val = _sample_depth(depth, px[fwlc], py[fwlc])
+        dest = jnp.where(fwl >= 0, fwl, budget)
+        depth_sample = depth_sample.at[dest].set(fb_val, mode="drop")
+        in_patch = in_patch.at[dest].set(True, mode="drop")
         patch_skipped = jnp.sum((valid & ~in_patch).astype(jnp.int32))
         valid = valid & in_patch
 

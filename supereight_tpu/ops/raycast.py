@@ -216,7 +216,10 @@ def build_strips(geom, state, field, bucket=None):
     inb = bx < b
     nslot = state.slot.reshape(-1)[
         (jnp.clip(bx, 0, b - 1) * b + by) * b + bz]
-    nslot = jnp.where(inb, nslot, -1)
+    # out-of-bucket neighbors have no table row: treat as unallocated
+    # (sentinel) like build_nav's probed-cell guard, instead of letting
+    # vals[nslot+1] clamp into another block's voxel data (ADVICE r3)
+    nslot = jnp.where(inb & (nslot < cap), nslot, -1)
     nslot = jnp.concatenate([jnp.full((1,), -1, jnp.int32), nslot])
     nvals = vals[nslot + 1]                                # [cap+1, 512]
 

@@ -275,34 +275,37 @@ def make_dist_step(mesh: Mesh, geom: MapGeometry, field, *, frame_size,
             tracked = jnp.where(do_track, tracked_t, False)
 
         # ---- allocation + integration (local morton range) ------------
+        # no-cond gating (the single-chip step's r3 treatment,
+        # parallel/step.py): the tracked/rate gate MASKS the touched
+        # grid and the integrate writes instead of lax.cond — a cond
+        # branch cannot alias the donated pool buffers, forcing a full
+        # per-device pool copy-on-write every integrated frame.
         do_integrate = (tracked | (frame <= 3)) \
             & (((frame % integration_rate) == 0) | (frame <= 3))
 
-        def integrate_branch(lm):
-            if field.multiscale_alloc:
-                touched, extra = allocation.ofusion_touched_masks(
-                    geom, depths[0], pose, k, mu)
-            else:
-                touched = allocation.tsdf_touched_mask(
-                    geom, depths[0], pose, k, mu)
-                extra = None
-            t_local = touched & (own == idx)
-            lm2, astats = m.allocate_blocks(geom, lm, t_local,
-                                            with_stats=True)
-            # replicated mip existence needs GLOBAL occupancy
-            occ = jax.lax.psum((lm2.slot >= 0).astype(jnp.float32),
-                               AXIS) > 0
-            lm2 = m.refresh_mip_alloc(geom, lm2, occ, extra_levels=extra)
-            lm3, istats = integration.integrate(
-                geom, lm2, field, depth, pose, k, mu,
-                (1.0 / 30.0) * frame.astype(jnp.float32), frame_size,
-                budget=budget, with_stats=True)
-            return (lm3, jax.lax.psum(astats["alloc_overflow"], AXIS),
-                    jax.lax.psum(istats["blocks_truncated"], AXIS))
-
-        lmap, alloc_overflow, blocks_truncated = jax.lax.cond(
-            do_integrate, integrate_branch,
-            lambda lm: (lm, jnp.int32(0), jnp.int32(0)), lmap)
+        if field.multiscale_alloc:
+            touched, extra = allocation.ofusion_touched_masks(
+                geom, depths[0], pose, k, mu)
+            extra = tuple(None if e is None else e & do_integrate
+                          for e in extra)
+        else:
+            touched = allocation.tsdf_touched_mask(
+                geom, depths[0], pose, k, mu)
+            extra = None
+        t_local = touched & (own == idx) & do_integrate
+        lmap, astats = m.allocate_blocks(geom, lmap, t_local,
+                                         with_stats=True)
+        # replicated mip existence needs GLOBAL occupancy
+        occ = jax.lax.psum((lmap.slot >= 0).astype(jnp.float32),
+                           AXIS) > 0
+        lmap = m.refresh_mip_alloc(geom, lmap, occ, extra_levels=extra)
+        lmap, istats = integration.integrate(
+            geom, lmap, field, depth, pose, k, mu,
+            (1.0 / 30.0) * frame.astype(jnp.float32), frame_size,
+            budget=budget, with_stats=True, when=do_integrate)
+        alloc_overflow = jax.lax.psum(
+            jnp.where(do_integrate, astats["alloc_overflow"], 0), AXIS)
+        blocks_truncated = jax.lax.psum(istats["blocks_truncated"], AXIS)
 
         # ---- halo exchange + raycast of local columns ------------------
         def raycast_branch(_):
@@ -427,8 +430,14 @@ def make_dist_step(mesh: Mesh, geom: MapGeometry, field, *, frame_size,
                    specs.valid, aux_spec),
         check_vma=False)
 
-    @jax.jit
+    import os as _os
+    donate = () if _os.environ.get("SE_TPU_NO_DONATE") == "1" else ("state",)
+
+    @functools.partial(jax.jit, donate_argnames=donate)
     def step(state: DistState, depth, k, frame, gt_pose=None):
+        # donation lets the per-device pool buffers update in place
+        # (callers consume the state exactly once per frame, like the
+        # single-chip frame_step)
         if gt_pose is None:
             gt_pose = jnp.eye(4, dtype=jnp.float32)
         lmap, pose, rpose, vertex, normal, valid, aux = sharded(

@@ -169,5 +169,9 @@ def frame_step(geom, field, state: FrameState, depth_m, k, frame,
            "alloc_overflow": alloc_overflow,
            "blocks_truncated": blocks_truncated,
            "patch_skipped": istats["patch_skipped"],
-           "ray_overflow": rstats["ray_overflow"]}
+           "ray_overflow": rstats["ray_overflow"],
+           # blocks allocated this frame past the strips pool bucket are
+           # read as UNKNOWN by this frame's raycast (build_nav guard) —
+           # counted so an undersized bucket is observable (ADVICE r3)
+           "pool_bucket_overflow": jnp.maximum(new_map.n_blocks - budget, 0)}
     return new_state, aux

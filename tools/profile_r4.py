@@ -1,0 +1,137 @@
+"""r4 focused profile at the bench config: full frame_step + each stage
++ integration split (block pass vs node/mip pass) + raycast sub-pieces.
+Device-trace timed (tools/trace_time.timed)."""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tools.trace_time import timed  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from supereight_tpu.core.map import MapGeometry
+    from supereight_tpu.core import se3
+    from supereight_tpu.fields import get_field
+    from supereight_tpu.io import synthetic
+    from supereight_tpu.ops import allocation, integration, raycast, tracking
+    from supereight_tpu.parallel import step as pstep
+    from supereight_tpu.pipeline import _preprocess_and_pyramid
+
+    W, H = 320, 240
+    geom = MapGeometry(size=512, dim=4.8, capacity=36864)
+    field = get_field("tsdf")
+    k = (240.6, 240.0, 160.0, 120.0)
+    budget = 8192
+
+    depths, poses = synthetic.orbit_sequence(
+        10, k, width=W, height=H, radius=0.3 * 4.8,
+        center=(2.4,) * 3, sphere_radius=0.15 * 4.8, angle_span=0.5,
+        room=((0.55,) * 3, (4.25,) * 3))
+    kj = jnp.asarray(k, jnp.float32)
+
+    fn = functools.partial(
+        pstep.frame_step, geom, field,
+        frame_size=(W, H), iterations=(10, 5, 4),
+        mu=0.1, icp_threshold=1e-5, neg_y=False, filter_input=False,
+        use_gt_pose=False, integration_rate=1, tracking_rate=1,
+        budget=budget)
+    state = pstep.init_frame_state(geom, field, (W, H), poses[0])
+    print("warming frame_step...", file=sys.stderr)
+    t0 = time.perf_counter()
+    for i in range(8):
+        state, aux = fn(state, jnp.asarray(depths[i]), kj, jnp.int32(i))
+    jax.block_until_ready(state)
+    print(f"  compile+8 frames {time.perf_counter()-t0:.0f}s, "
+          f"blocks={int(state.map.n_blocks)}", file=sys.stderr)
+    depth = jnp.asarray(depths[8])
+    ms = timed(fn, state, depth, kj, jnp.int32(8), tag="frame")
+    print(f"FULL frame_step      {ms:8.2f} ms")
+
+    m_state = state.map
+    pose = state.pose
+    pp = jax.jit(functools.partial(_preprocess_and_pyramid, levels=3,
+                                   neg_y=False, filter_input=False))
+    print(f"preprocess           {timed(pp, depth, kj, tag='pp'):8.2f} ms")
+    dp, verts, norms, valids = pp(depth, kj)
+
+    tr = jax.jit(functools.partial(tracking.track, iterations=(10, 5, 4),
+                                   icp_threshold=1e-5))
+    print(f"tracking             "
+          f"{timed(tr, pose, state.raycast_pose, kj, verts, norms, valids, state.vertex, state.normal, state.valid, tag='tr'):8.2f} ms")
+
+    al = jax.jit(functools.partial(allocation.allocate_tsdf, geom, mu=0.1))
+    print(f"allocation           "
+          f"{timed(al, m_state, dp[0], pose, kj, tag='al'):8.2f} ms")
+
+    ig = jax.jit(lambda ms_, d, p: integration.integrate(
+        geom, ms_, field, d, p, kj, 0.1, 0.2, (W, H), budget=budget))
+    print(f"integration          "
+          f"{timed(ig, m_state, depth, pose, tag='ig'):8.2f} ms")
+
+    # node/mip pass alone (replicates integrate's node loop)
+    def node_pass(ms_, d, p):
+        t_cw = se3.inverse(p)
+        K = se3.camera_matrix(kj)
+        new_x, new_y = [], []
+        for lvl in range(geom.num_levels):
+            side = geom.blocks_per_side >> lvl
+            octant_m = (8 << lvl) * geom.voxel_size
+            g = jnp.arange(side, dtype=jnp.float32) * octant_m
+            wx = g[:, None, None] + jnp.zeros((side, side, side))
+            wy = g[None, :, None] + jnp.zeros((side, side, side))
+            wz = g[None, None, :] + jnp.zeros((side, side, side))
+            (cx, cy, cz), px, py, valid = integration._project_voxels_c(
+                geom, wx, wy, wz, t_cw, K, (W, H))
+            valid = valid & ms_.mip_alloc[lvl]
+            ds = integration._sample_depth(d, px, py)
+            nx, ny, _ = integration._field_update(
+                field, ms_.mip_x[lvl], ms_.mip_y[lvl], (cx, cy, cz), ds,
+                valid, mu=0.1, timestamp=0.2, voxel_size=geom.voxel_size)
+            new_x.append(nx)
+            new_y.append(ny)
+        return tuple(new_x), tuple(new_y)
+
+    print(f"  node/mip pass      "
+          f"{timed(jax.jit(node_pass), m_state, depth, pose, tag='np'):8.2f} ms")
+
+    view = jnp.matmul(pose, se3.inverse_camera_matrix(kj),
+                      precision=jax.lax.Precision.HIGHEST)
+    prime = raycast.prime_from_depth(depth, kj)
+    rc = jax.jit(lambda ms_, v, pt: raycast.raycast(
+        geom, ms_, field, v, 0.1, (W, H), prime_t=pt, pool_bucket=budget))
+    print(f"raycast (primed)     "
+          f"{timed(rc, m_state, view, prime, tag='rc'):8.2f} ms")
+
+    nv = jax.jit(functools.partial(raycast.build_nav, geom,
+                                   bucket=budget))
+    print(f"  nav build          {timed(nv, m_state, tag='nv'):8.2f} ms")
+    nav = nv(m_state)
+    n4 = jax.jit(functools.partial(raycast.build_nav4,
+                                   blocks_per_side=geom.blocks_per_side))
+    print(f"  nav4 build         {timed(n4, nav, tag='n4'):8.2f} ms")
+    st = jax.jit(functools.partial(raycast.build_strips, geom, field=field,
+                                   bucket=budget))
+    print(f"  strips build       {timed(st, m_state, tag='st'):8.2f} ms")
+    strips = st(m_state)
+
+    dxi, dyi, dzi = raycast.ray_directions_c(view, W, H)
+    dx, dy, dz = dxi.reshape(-1), dyi.reshape(-1), dzi.reshape(-1)
+    origin = view[:3, 3]
+    tnear, tfar = raycast.ray_box_range_c(origin, dx, dy, dz, geom.dim)
+    mar = jax.jit(lambda o, a, b, c, tn, tf, nv_, st_, pt: raycast._march(
+        geom, m_state, field, o, a, b, c, tn, tf, 0.1, geom.voxel_size,
+        geom.voxel_size * 8, 2 * geom.size, nav=nv_, strips=st_,
+        prime_t=pt))
+    print(f"  march (primed)     "
+          f"{timed(mar, origin, dx, dy, dz, tnear, tfar, nav, strips, prime, tag='mar'):8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
