@@ -13,6 +13,10 @@ Prints ONE JSON line:
 vs_baseline is against 30 fps — the real-time rate the reference paper
 claims for desktop CPUs (README.md:5-20); the repo publishes no numbers
 in-tree (BASELINE.md).
+
+``--field ofusion`` benches the occupancy pipeline at the demo-ofusion
+config (mu = 0.008, reference Makefile:36-38) instead; the metric name
+changes accordingly.
 """
 
 import functools
@@ -32,14 +36,18 @@ DIM = 4.8            # meters
 CAPACITY = 36864     # voxel blocks
 N_WARMUP = 3
 N_FRAMES = 20
-N_TIMED = 4          # traced executions for the fps measure (tracing
-                     # many more can stall the remote profiler)
+N_TIMED = 20         # DISTINCT frames in the traced fps window
 BASELINE_FPS = 30.0
 
 
 def main():
     from supereight_tpu.utils import compilecache
     compilecache.enable()
+
+    field_name = "tsdf"
+    if "--field" in sys.argv:
+        field_name = sys.argv[sys.argv.index("--field") + 1]
+    mu = 0.1 if field_name == "tsdf" else 0.008
 
     import jax
     import jax.numpy as jnp
@@ -50,21 +58,22 @@ def main():
     from supereight_tpu.parallel import step as pstep
 
     geom = MapGeometry(size=SIZE, dim=DIM, capacity=CAPACITY)
-    field = get_field("tsdf")
+    field = get_field(field_name)
     # traj2 intrinsics (481.2, -480, 320, 240) scaled by the compute
     # ratio; the synthetic scene uses +y-down convention so fy > 0.
     k = (240.6, 240.0, 160.0, 120.0)
 
     print("generating synthetic sequence...", file=sys.stderr)
+    n_total = N_WARMUP + N_FRAMES + N_TIMED
     depths, poses = synthetic.orbit_sequence(
-        N_WARMUP + N_FRAMES, k, width=W, height=H, radius=0.3 * DIM,
+        n_total, k, width=W, height=H, radius=0.3 * DIM,
         center=(DIM / 2,) * 3, sphere_radius=0.15 * DIM, angle_span=0.5,
         room=((0.55, 0.55, 0.55), (DIM - 0.55,) * 3))
 
     fn = functools.partial(
         pstep.frame_step, geom, field,
         frame_size=(W, H), iterations=(10, 5, 4),
-        mu=0.1, icp_threshold=1e-5, neg_y=False, filter_input=False,
+        mu=mu, icp_threshold=1e-5, neg_y=False, filter_input=False,
         use_gt_pose=False, integration_rate=1, tracking_rate=1,
         # static worklist bucket covering this scene's ~7.6k blocks
         # (integration_budget would pick the same 8192 bucket; fixed here
@@ -84,7 +93,7 @@ def main():
               file=sys.stderr)
 
     # Timing is DEVICE-TRACE based: the summed device duration of the
-    # N_FRAMES compiled frame_step executions from an xplane trace.
+    # N_TIMED compiled frame_step executions from an xplane trace.
     # Wall-clock of the dispatch loop lies under the remote (axon)
     # runtime — asynchronous dispatch returns long before the device
     # finishes (measured "20 frames in 0.010s" for 43 ms/frame programs)
@@ -98,29 +107,28 @@ def main():
         state, aux = fn(state, depths_j[i], kj, jnp.int32(i))
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
-    # quality metrics BEFORE the timed window advances the state
+
+    # fps from a traced window of N_TIMED DISTINCT sequence frames (the
+    # camera keeps orbiting: every frame tracks, allocates along new
+    # rays and re-primes — no same-frame re-execution shortcut).
+    trace_dir = "/tmp/se_tpu_bench_trace"
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    print(f"timing (traced window, {N_TIMED} distinct frames)...",
+          file=sys.stderr)
+    t1 = time.perf_counter()
+    with jax.profiler.trace(trace_dir):
+        for j in range(N_WARMUP + N_FRAMES, n_total):
+            state, aux = fn(state, depths_j[j], kj, jnp.int32(j))
+        jax.block_until_ready(state)
+    dt_w = time.perf_counter() - t1
+
     tracked = bool(aux["tracked"])
     n_blocks = int(state.map.n_blocks)
     pos_err = float(np.linalg.norm(
-        np.asarray(state.pose)[:3, 3]
-        - poses[N_WARMUP + N_FRAMES - 1][:3, 3]))
-    drops = {k: int(aux[k]) for k in
+        np.asarray(state.pose)[:3, 3] - poses[n_total - 1][:3, 3]))
+    drops = {key: int(aux[key]) for key in
              ("alloc_overflow", "blocks_truncated", "patch_skipped",
               "ray_overflow", "pool_bucket_overflow")}
-
-    # fps from a short TRACED window on the now-steady-state map
-    # (tracing the whole sequence stalls the remote profiler)
-    trace_dir = "/tmp/se_tpu_bench_trace"
-    shutil.rmtree(trace_dir, ignore_errors=True)
-    print("timing (traced window)...", file=sys.stderr)
-    t1 = time.perf_counter()
-    with jax.profiler.trace(trace_dir):
-        for j in range(N_TIMED):
-            state2, _ = fn(state, depths_j[N_WARMUP + N_FRAMES - 1], kj,
-                           jnp.int32(N_FRAMES + N_WARMUP + j))
-            state = state2
-        jax.block_until_ready(state)
-    dt_w = time.perf_counter() - t1
 
     dev_s, n_exec = deviceprof.program_device_seconds(
         trace_dir, "jit_frame_step")
@@ -138,7 +146,7 @@ def main():
           f"drops={drops}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "frames_per_sec_chip_traj2cfg_c2_512v_tsdf_icp",
+        "metric": f"frames_per_sec_chip_traj2cfg_c2_512v_{field_name}_icp",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -236,9 +236,15 @@ def _cell_and_strip(geom, vx, vy, vz):
     return cell, strip
 
 
-def _probe(geom, nav, strips, unk, px, py, pz):
-    """One marching probe at metric positions: nav gather + strip row +
+def _probe(geom, nav4, strips, unk, px, py, pz):
+    """One marching probe at metric positions: nav4 gather + strip row +
     lane select. Returns (value, known, jump_dist_blocks, in_block).
+
+    The march probes the SAME [B^3, 4] neighbour-pair nav table the
+    refinement stencil uses (lane 0 = the probed cell — see
+    :func:`build_nav4`): one table build per raycast instead of two,
+    and a row gather costs the same as an element gather (gathers are
+    per-ROW, CLAUDE.md perf laws).
 
     Empty cells decode the packed nav payload (see :func:`build_nav`):
     the jump distance always, and — when present — the coarse free-space
@@ -255,7 +261,7 @@ def _probe(geom, nav, strips, unk, px, py, pz):
     vy = jnp.clip(vy, 0, size - 1)
     vz = jnp.clip(vz, 0, size - 1)
     cell, strip = _cell_and_strip(geom, vx, vy, vz)
-    nv = nav[cell]
+    nv = nav4[cell][..., 0]
     in_block = (nv >= 0) & inb
     row = strips[(jnp.maximum(nv, -1) + 1) * 64 + strip]      # [..., 16]
     val = lane_select(row[..., :8], vx & 7).astype(jnp.float32)
@@ -419,6 +425,9 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
         nav = build_nav(geom, state, field, bucket=pool_bucket)
     if strips is None:
         strips = build_strips(geom, state, field, bucket=pool_bucket)
+    # the march and the trilinear refinement share ONE nav table (nav4);
+    # XLA fuses the plain nav grid into its construction
+    nav = build_nav4(nav, geom.blocks_per_side)
     bstep = BLOCK_SIDE * geom.voxel_size
     fill = 1.0 if is_tsdf else 0.0
 
@@ -634,7 +643,7 @@ def raycast_rays(geom, field, origin, dx, dy, dz, mu, state=None,
     largestep = step * BLOCK_SIDE
     tnear, tfar = ray_box_range_c(origin, dx, dy, dz, geom.dim, near, far)
 
-    t1, t_cross, ss, hit, overflow, nav, strips = _march(
+    t1, t_cross, ss, hit, overflow, nav4, strips = _march(
         geom, state, field, origin, dx, dy, dz, tnear, tfar, mu, step,
         largestep, max_steps, nav=nav, strips=strips, prime_t=prime_t,
         pool_bucket=pool_bucket)
@@ -647,7 +656,6 @@ def raycast_rays(geom, field, origin, dx, dy, dz, mu, state=None,
     iv = geom.inv_voxel_size
     unk = _sentinel(field)
     fill = 1.0 if field.name == "tsdf" else 0.0
-    nav4 = build_nav4(nav, geom.blocks_per_side)
     v1, gx, gy, gz = _interp_grad(geom, nav4, strips, unk, fill,
                                   (origin[0] + dx * t1) * iv,
                                   (origin[1] + dy * t1) * iv,

@@ -83,14 +83,20 @@ def se3_log(T):
     w = so3_log(T[..., :3, :3])
     theta_sq = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta_sq)
-    small = theta_sq < 1e-8
+    # Taylor window sized for f32: below theta ~ 1e-3 the closed forms
+    # lose all precision (1 - cos(1e-4) underflows to 0 in f32, making
+    # b = 0 -> coef = inf -> NaN translations) while the series is
+    # already exact to f32 there.
+    small = theta_sq < 1e-6
     th = jnp.where(small, 1.0, theta)
     W = se3.hat(w)
     W2 = jnp.matmul(W, W, precision=jax.lax.Precision.HIGHEST)
+    half = 0.5 * th
+    sin_half = jnp.sin(half)
+    # b = (1 - cos th)/th^2 = 2 sin^2(th/2)/th^2 — the half-angle form
+    # keeps full precision at small angles
     b = jnp.where(small, 0.5 - theta_sq / 24.0,
-                  (1.0 - jnp.cos(th)) / (th * th))
-    c = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0,
-                  (th - jnp.sin(th)) / (th ** 3))
+                  2.0 * sin_half * sin_half / (th * th))
     eye = jnp.broadcast_to(jnp.eye(3), W.shape)
     # V^{-1} = I - W/2 + (1/theta^2)(1 - a/(2b)) W^2, standard closed form
     a = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(th) / th)
@@ -125,12 +131,23 @@ def _residual_local(xi, xj, t_i, t_j, t_meas):
 
 @functools.partial(jax.jit, static_argnames=("num_nodes", "iters"))
 def optimize(poses, graph: PoseGraph, num_nodes: int, iters: int = 10,
-             damping: float = 1e-6):
+             damping: float = 1e-6, fixed=None):
     """Gauss-Newton over the window; node 0 is the gauge (held fixed).
 
     poses: f32[N, 4, 4] camera-to-world. Returns optimized poses.
+
+    ``fixed`` (optional bool[N]): additional nodes held EXACTLY fixed —
+    frozen loop-closure anchors kept alive past the sliding window
+    (posegraph.keyframes pins them) serve as gauge for the long loop.
+    Fixed nodes are eliminated by masking: their rows/columns of H are
+    replaced by identity and their gradient zeroed, so the solve leaves
+    them untouched without hurting conditioning.
     """
     zeros6 = jnp.zeros(6)
+    if fixed is None:
+        fixed = jnp.zeros((num_nodes,), bool)
+    fixed = fixed.at[0].set(True)  # node 0 is always gauge
+    free6 = jnp.repeat(~fixed, 6).astype(jnp.float32)
 
     def gn_step(poses, _):
         def per_edge(i, j, t_meas, w, valid):
@@ -175,14 +192,19 @@ def optimize(poses, graph: PoseGraph, num_nodes: int, iters: int = 10,
         b = add_b(b, graph.i, ji)
         b = add_b(b, graph.j, jj)
 
-        # gauge fixing: node 0 held EXACTLY fixed by solving the reduced
-        # system over nodes 1..N-1 (a stiff prior instead puts ~1e8 on
-        # the diagonal, pushing cond(H) past f32 Cholesky range — the
-        # solve then emits NaNs once the residuals converge)
-        H = H + jnp.eye(n6) * damping
-        dxr = -jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(H[6:, 6:], lower=True), b[6:])
-        dx = jnp.concatenate([jnp.zeros(6), dxr]).reshape(num_nodes, 6)
+        # gauge fixing: fixed nodes (node 0 + frozen anchors) held
+        # EXACTLY fixed by masking their rows/cols out of H and placing
+        # identity on their diagonal — equivalent to the reduced solve
+        # over free nodes, static-shaped, and well-conditioned (a stiff
+        # prior instead puts ~1e8 on the diagonal, pushing cond(H) past
+        # f32 Cholesky range — the solve then emits NaNs once the
+        # residuals converge)
+        H = H * free6[:, None] * free6[None, :] \
+            + jnp.diag(1.0 - free6) + jnp.eye(n6) * damping
+        b = b * free6
+        dx = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(H, lower=True), b)
+        dx = (dx * free6).reshape(num_nodes, 6)
         new_poses = jax.vmap(lambda d, T: se3.exp(d) @ T)(dx, poses)
         return new_poses, jnp.linalg.norm(dx)
 

@@ -94,3 +94,61 @@ def test_keyframe_manager():
     out = km.optimize(iters=5)
     assert out.shape == (4, 4, 4)
     assert np.isfinite(out).all()
+
+
+def test_pinned_anchor_survives_trim():
+    """A loop-closure anchor keyframe must outlive the sliding window
+    (frozen as gauge), and its closure edge must survive with it."""
+    km = KeyframeManager(window=4, keyframe_every=1)
+    for f in range(4):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 0.1 * f
+        km.maybe_add(f, T)
+    # closure from keyframe 3 back to keyframe 0 -> 0 is pinned
+    km.add_loop_closure(0, 3, np.eye(4, dtype=np.float32), 1.0)
+    anchor_frame = km.frames[0]
+    # one slide: closure edge must survive the trim that evicts an
+    # unpinned keyframe between anchor and target
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = 0.4
+    km.maybe_add(4, T)
+    assert any(abs(i - j) > 1 for (i, j, _, _) in km.edges)
+    for f in range(5, 12):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 0.1 * f
+        km.maybe_add(f, T)
+    # the anchor survived eight trims, is frozen, and keeps its maps
+    # so the NEXT revisit can re-localize against it
+    assert km.frames[0] == anchor_frame
+    assert km.pinned[0] and km.frozen[0]
+    before = np.asarray(km.poses[0]).copy()
+    out = km.optimize(iters=5)
+    np.testing.assert_allclose(out[0], before, atol=1e-6)  # held fixed
+    assert np.isfinite(out).all()
+
+
+def test_max_pinned_bounds_anchor_set():
+    km = KeyframeManager(window=3, keyframe_every=1, max_pinned=2)
+    for f in range(30):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 0.1 * f
+        km.maybe_add(f, T)
+        if f >= 3:
+            km.add_loop_closure(0, len(km.poses) - 1,
+                                np.eye(4, dtype=np.float32), 1.0)
+    assert sum(km.pinned) <= 2 + km.window
+    assert len(km.poses) <= km.window + 2
+
+
+def test_nearest_revisit_orientation_gate():
+    km = KeyframeManager(window=16, keyframe_every=1)
+    fwd = np.eye(4, dtype=np.float32)
+    for f in range(6):
+        T = fwd.copy()
+        T[0, 3] = 0.02 * f
+        km.maybe_add(f, T)
+    # same position but facing the opposite way: no candidate
+    back = np.eye(4, dtype=np.float32)
+    back[0, 0] = back[2, 2] = -1.0
+    assert km.nearest_revisit(back) is None
+    assert km.nearest_revisit(fwd) is not None

@@ -38,7 +38,8 @@ def main():
     jax.block_until_ready(m)
     print(f"blocks: {int(m.n_blocks)}", flush=True)
 
-    nav = raycast.build_nav(geom, m)
+    nav = raycast.build_nav4(raycast.build_nav(geom, m),
+                             geom.blocks_per_side)
     strips = raycast.build_strips(geom, m, field)
     jax.block_until_ready((nav, strips))
 

@@ -52,7 +52,8 @@ def main():
     largestep = step * 8
     bstep = largestep
 
-    nav = raycast.build_nav(geom, m)
+    nav = raycast.build_nav4(raycast.build_nav(geom, m),
+                             geom.blocks_per_side)
     strips = raycast.build_strips(geom, m, field, bucket=8192)
 
     @jax.jit

@@ -13,6 +13,11 @@ from tools.trace_time import timed  # noqa: E402
 
 
 def main():
+    only = set(sys.argv[1:])  # e.g. "frame stages ray" (empty = all)
+
+    def want(name):
+        return not only or name in only
+
     import jax
     import jax.numpy as jnp
 
@@ -51,29 +56,47 @@ def main():
     print(f"  compile+8 frames {time.perf_counter()-t0:.0f}s, "
           f"blocks={int(state.map.n_blocks)}", file=sys.stderr)
     depth = jnp.asarray(depths[8])
-    ms = timed(fn, state, depth, kj, jnp.int32(8), tag="frame")
-    print(f"FULL frame_step      {ms:8.2f} ms")
+    if want("frame"):
+        # frame_step donates its state: time a threaded-state window and
+        # count only the jit_frame_step program (like bench.py)
+        import shutil
+        from supereight_tpu.utils import deviceprof
+        trace_dir = "/tmp/jtt_frame_w"
+        shutil.rmtree(trace_dir, ignore_errors=True)
+        s2 = state
+        with jax.profiler.trace(trace_dir):
+            for j in range(4):
+                s2, _ = fn(s2, depth, kj, jnp.int32(8 + j))
+            jax.block_until_ready(s2)
+        dev_s, n_exec = deviceprof.program_device_seconds(
+            trace_dir, "jit_frame_step")
+        print(f"FULL frame_step      {dev_s / max(n_exec, 1) * 1e3:8.2f} ms"
+              f" ({n_exec} execs)", flush=True)
 
     m_state = state.map
     pose = state.pose
     pp = jax.jit(functools.partial(_preprocess_and_pyramid, levels=3,
                                    neg_y=False, filter_input=False))
-    print(f"preprocess           {timed(pp, depth, kj, tag='pp'):8.2f} ms")
     dp, verts, norms, valids = pp(depth, kj)
+    if want("pp"):
+        print(f"preprocess           {timed(pp, depth, kj, tag='pp'):8.2f} ms", flush=True)
 
-    tr = jax.jit(functools.partial(tracking.track, iterations=(10, 5, 4),
-                                   icp_threshold=1e-5))
-    print(f"tracking             "
-          f"{timed(tr, pose, state.raycast_pose, kj, verts, norms, valids, state.vertex, state.normal, state.valid, tag='tr'):8.2f} ms")
+    if want("tr"):
+        tr = jax.jit(functools.partial(tracking.track, iterations=(10, 5, 4),
+                                       icp_threshold=1e-5))
+        print(f"tracking             "
+              f"{timed(tr, pose, state.raycast_pose, kj, verts, norms, valids, state.vertex, state.normal, state.valid, tag='tr'):8.2f} ms", flush=True)
 
-    al = jax.jit(functools.partial(allocation.allocate_tsdf, geom, mu=0.1))
-    print(f"allocation           "
-          f"{timed(al, m_state, dp[0], pose, kj, tag='al'):8.2f} ms")
+    if want("al"):
+        al = jax.jit(functools.partial(allocation.allocate_tsdf, geom, mu=0.1))
+        print(f"allocation           "
+              f"{timed(al, m_state, dp[0], pose, kj, tag='al'):8.2f} ms", flush=True)
 
-    ig = jax.jit(lambda ms_, d, p: integration.integrate(
-        geom, ms_, field, d, p, kj, 0.1, 0.2, (W, H), budget=budget))
-    print(f"integration          "
-          f"{timed(ig, m_state, depth, pose, tag='ig'):8.2f} ms")
+    if want("ig"):
+        ig = jax.jit(lambda ms_, d, p: integration.integrate(
+            geom, ms_, field, d, p, kj, 0.1, 0.2, (W, H), budget=budget))
+        print(f"integration          "
+              f"{timed(ig, m_state, depth, pose, tag='ig'):8.2f} ms", flush=True)
 
     # node/mip pass alone (replicates integrate's node loop)
     def node_pass(ms_, d, p):
@@ -98,28 +121,31 @@ def main():
             new_y.append(ny)
         return tuple(new_x), tuple(new_y)
 
-    print(f"  node/mip pass      "
-          f"{timed(jax.jit(node_pass), m_state, depth, pose, tag='np'):8.2f} ms")
+    if want("np"):
+        print(f"  node/mip pass      "
+              f"{timed(jax.jit(node_pass), m_state, depth, pose, tag='np'):8.2f} ms", flush=True)
 
     view = jnp.matmul(pose, se3.inverse_camera_matrix(kj),
                       precision=jax.lax.Precision.HIGHEST)
     prime = raycast.prime_from_depth(depth, kj)
-    rc = jax.jit(lambda ms_, v, pt: raycast.raycast(
-        geom, ms_, field, v, 0.1, (W, H), prime_t=pt, pool_bucket=budget))
-    print(f"raycast (primed)     "
-          f"{timed(rc, m_state, view, prime, tag='rc'):8.2f} ms")
+    if want("rc"):
+        rc = jax.jit(lambda ms_, v, pt: raycast.raycast(
+            geom, ms_, field, v, 0.1, (W, H), prime_t=pt, pool_bucket=budget))
+        print(f"raycast (primed)     "
+              f"{timed(rc, m_state, view, prime, tag='rc'):8.2f} ms", flush=True)
 
     nv = jax.jit(functools.partial(raycast.build_nav, geom,
                                    bucket=budget))
-    print(f"  nav build          {timed(nv, m_state, tag='nv'):8.2f} ms")
     nav = nv(m_state)
-    n4 = jax.jit(functools.partial(raycast.build_nav4,
-                                   blocks_per_side=geom.blocks_per_side))
-    print(f"  nav4 build         {timed(n4, nav, tag='n4'):8.2f} ms")
     st = jax.jit(functools.partial(raycast.build_strips, geom, field=field,
                                    bucket=budget))
-    print(f"  strips build       {timed(st, m_state, tag='st'):8.2f} ms")
     strips = st(m_state)
+    if want("tables"):
+        print(f"  nav build          {timed(nv, m_state, tag='nv'):8.2f} ms", flush=True)
+        n4 = jax.jit(functools.partial(raycast.build_nav4,
+                                       blocks_per_side=geom.blocks_per_side))
+        print(f"  nav4 build         {timed(n4, nav, tag='n4'):8.2f} ms", flush=True)
+        print(f"  strips build       {timed(st, m_state, tag='st'):8.2f} ms", flush=True)
 
     dxi, dyi, dzi = raycast.ray_directions_c(view, W, H)
     dx, dy, dz = dxi.reshape(-1), dyi.reshape(-1), dzi.reshape(-1)
@@ -129,8 +155,9 @@ def main():
         geom, m_state, field, o, a, b, c, tn, tf, 0.1, geom.voxel_size,
         geom.voxel_size * 8, 2 * geom.size, nav=nv_, strips=st_,
         prime_t=pt))
-    print(f"  march (primed)     "
-          f"{timed(mar, origin, dx, dy, dz, tnear, tfar, nav, strips, prime, tag='mar'):8.2f} ms")
+    if want("mar"):
+        print(f"  march (primed)     "
+              f"{timed(mar, origin, dx, dy, dz, tnear, tfar, nav, strips, prime, tag='mar'):8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -65,6 +65,11 @@ def main():
     ap.add_argument("--workdir", default="")
     ap.add_argument("--noise", type=float, default=0.0,
                     help="extra noisy-depth variant with this factor")
+    ap.add_argument("--variant", default="",
+                    help="run only this variant (substring match) — lets "
+                         "each run fit a background time slot; results "
+                         "accumulate as JSON in --workdir and --out "
+                         "renders every variant seen so far")
     args = ap.parse_args()
 
     wd = args.workdir or tempfile.mkdtemp(prefix="longseq_")
@@ -83,8 +88,12 @@ def main():
         ("tsdf icp+BA", ["-f", "tsdf", "-m", "0.1",
                          "--keyframe-rate", "15"]),
     ]
-    rows = []
+    import json
+    results_dir = os.path.join(wd, "results")
+    os.makedirs(results_dir, exist_ok=True)
     for name, extra in variants:
+        if args.variant and args.variant not in name:
+            continue
         log = os.path.join(wd, name.replace(" ", "_").replace("+", "_")
                            + ".log")
         print(f"running {name}...", file=sys.stderr)
@@ -93,19 +102,35 @@ def main():
               f"drops={r['drops']}", file=sys.stderr)
         if r["rc"] != 0:
             print(r["stderr"], file=sys.stderr)
-        rows.append((name, r))
+        with open(os.path.join(results_dir,
+                               name.replace(" ", "_") + ".json"),
+                  "w") as f:
+            json.dump({"name": name, **{k: v for k, v in r.items()
+                                        if k != "stderr"}}, f)
 
-    if args.noise > 0:
+    if args.noise > 0 and (not args.variant or "noise" in args.variant):
         raw_n = os.path.join(wd, "loop_noisy.raw")
         if not os.path.exists(raw_n):
             from supereight_tpu.io.convert import synthetic2raw
             synthetic2raw(raw_n, args.frames, scene="loop",
                           noise_factor=args.noise)
         log = os.path.join(wd, "tsdf_noisy.log")
+        name = f"tsdf icp noise={args.noise}"
         r = run_one(raw_n, raw_n + ".gt.txt",
                     ["-f", "tsdf", "-m", "0.1"], log, args.frames)
-        rows.append((f"tsdf icp noise={args.noise}", r))
         print(f"  -> noisy rc={r['rc']} ate={r['ate']}", file=sys.stderr)
+        with open(os.path.join(results_dir,
+                               name.replace(" ", "_") + ".json"),
+                  "w") as f:
+            json.dump({"name": name, **{k: v for k, v in r.items()
+                                        if k != "stderr"}}, f)
+
+    # render every result recorded in the workdir so far
+    rows = []
+    for fn in sorted(os.listdir(results_dir)):
+        with open(os.path.join(results_dir, fn)) as f:
+            rr = json.load(f)
+        rows.append((rr.pop("name"), rr))
 
     lines = [
         "| variant | ATE RMSE (m) | tracked frac | wall fps | "
