@@ -128,7 +128,7 @@ def main():
         np.asarray(state.pose)[:3, 3] - poses[n_total - 1][:3, 3]))
     drops = {key: int(aux[key]) for key in
              ("alloc_overflow", "blocks_truncated", "patch_skipped",
-              "ray_overflow", "pool_bucket_overflow")}
+              "mip_skipped", "ray_overflow", "pool_bucket_overflow")}
 
     dev_s, n_exec = deviceprof.program_device_seconds(
         trace_dir, "jit_frame_step")

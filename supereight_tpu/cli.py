@@ -206,7 +206,7 @@ def main(argv=None):
     print(f"# frames={frame} wall={wall:.2f}s fps={fps:.2f}", file=sys.stderr)
     drops = {n: int(stats.sum(n)) for n in
              ("alloc_overflow", "blocks_truncated", "patch_skipped",
-              "ray_overflow", "pool_bucket_overflow")
+              "mip_skipped", "ray_overflow", "pool_bucket_overflow")
              if stats.has(n)}
     if drops:
         print("# drop counters (should be 0; nonzero = budgets too small "

@@ -374,8 +374,27 @@ def integrate(geom, state, field, depth, pose, k, mu, timestamp,
     # ---- node (coarse mip) pass ----------------------------------------
     # ref update_node (projective_functor.hpp:113-137): every existing
     # coarse value slot is re-fused at its octant origin corner.
-    new_mips_x, new_mips_y = [], []
-    for lvl in range(geom.num_levels):
+    #
+    # Level 0 holds (B)^3 octant slots (262k at 512^3) and its existence
+    # mask is by construction a 2x2x2 broadcast of "parent node exists"
+    # (core/map.refresh_mip_alloc), so it runs SPARSE: compact occupied
+    # PARENTS (top_k over (B/2)^3), fetch each parent's 8 children as
+    # ONE 8-wide row of a sibling-packed transpose of the dense mip
+    # (gathers cost per ROW — CLAUDE.md law 1), update, scatter the rows
+    # back. Cost scales with allocated parents instead of the whole
+    # grid (the dense form's 262k depth-gather rows were ~1 ms/frame).
+    # Higher levels stay dense ((B/2)^3 + ... cells are cheap).
+    mip_skipped = jnp.int32(0)
+    first_dense_level = 0
+    if geom.blocks_per_side >= 8:
+        first_dense_level = 1
+        state, mip_skipped = _node_pass_level0_sparse(
+            geom, state, field, depth, t_cw, K, frame_size, mu, timestamp,
+            min(budget, (geom.blocks_per_side // 2) ** 3), when)
+
+    new_mips_x = [state.mip_x[lvl] for lvl in range(first_dense_level)]
+    new_mips_y = [state.mip_y[lvl] for lvl in range(first_dense_level)]
+    for lvl in range(first_dense_level, geom.num_levels):
         side = geom.blocks_per_side >> lvl
         octant_m = (BLOCK_SIDE << lvl) * geom.voxel_size
         g = jnp.arange(side, dtype=jnp.float32) * octant_m
@@ -401,6 +420,78 @@ def integrate(geom, state, field, depth, pose, k, mu, timestamp,
         if when is not None:
             truncated = jnp.where(when, truncated, 0)
             patch_skipped = jnp.where(when, patch_skipped, 0)
+            mip_skipped = jnp.where(when, mip_skipped, 0)
         return state, {"blocks_truncated": truncated,
-                       "patch_skipped": patch_skipped}
+                       "patch_skipped": patch_skipped,
+                       "mip_skipped": mip_skipped}
     return state
+
+
+def _node_pass_level0_sparse(geom, state, field, depth, t_cw, K,
+                             frame_size, mu, timestamp, pbudget: int,
+                             when):
+    """Sparse level-0 coarse-value update over occupied parents.
+
+    Exactly the dense level-0 update of :func:`integrate`'s node pass
+    (ref update_node, projective_functor.hpp:113-137) restricted to the
+    2x2x2 sibling groups whose parent node exists — which is ALL slots
+    whose ``mip_alloc[0]`` bit is set (refresh_mip_alloc broadcasts
+    parent occupancy to every sibling). Parents beyond ``pbudget`` skip
+    their update this frame and are counted (returned as mip_skipped
+    octants).
+    """
+    b = geom.blocks_per_side
+    hp = b // 2
+    npar = hp * hp * hp
+    parent = state.mip_alloc[0].reshape(hp, 2, hp, 2, hp, 2) \
+        .any(axis=(1, 3, 5)).reshape(-1)
+
+    ids = jnp.arange(npar, dtype=jnp.int32)
+    vals, _ = jax.lax.top_k(jnp.where(parent, npar - ids, 0), pbudget)
+    pw = jnp.where(vals > 0, npar - vals, -1)
+    present = pw >= 0
+    pwc = jnp.maximum(pw, 0)
+    skipped = (jnp.sum(parent.astype(jnp.int32))
+               - jnp.sum(present.astype(jnp.int32))) * 8
+
+    def pack(m):
+        return m.reshape(hp, 2, hp, 2, hp, 2) \
+            .transpose(0, 2, 4, 1, 3, 5).reshape(npar, 8)
+
+    def unpack(m):
+        return m.reshape(hp, hp, hp, 2, 2, 2) \
+            .transpose(0, 3, 1, 4, 2, 5).reshape(b, b, b)
+
+    px_ = pack(state.mip_x[0])
+    py_ = pack(state.mip_y[0])
+    old_x = px_[pwc]
+    old_y = py_[pwc]
+
+    # child octant origin corners (the position update_node samples)
+    pi = pwc // (hp * hp)
+    pj = (pwc // hp) % hp
+    pk = pwc % hp
+    ci = jnp.asarray(np.arange(8) // 4, jnp.int32)[None]
+    cj = jnp.asarray((np.arange(8) // 2) % 2, jnp.int32)[None]
+    ck = jnp.asarray(np.arange(8) % 2, jnp.int32)[None]
+    octant_m = BLOCK_SIDE * geom.voxel_size
+    wx = (pi[:, None] * 2 + ci).astype(jnp.float32) * octant_m
+    wy = (pj[:, None] * 2 + cj).astype(jnp.float32) * octant_m
+    wz = (pk[:, None] * 2 + ck).astype(jnp.float32) * octant_m
+    (cx, cy, cz), ppx, ppy, valid = _project_voxels_c(
+        geom, wx, wy, wz, t_cw, K, frame_size)
+    valid = valid & present[:, None]
+    if when is not None:
+        valid = valid & when
+    ds = _sample_depth(depth, ppx, ppy)
+    nx, ny, _ = _field_update(field, old_x, old_y, (cx, cy, cz), ds,
+                              valid, mu=mu, timestamp=timestamp,
+                              voxel_size=geom.voxel_size)
+    dest = jnp.where(present, pw, npar)
+    px_ = px_.at[dest].set(nx, mode="drop")
+    py_ = py_.at[dest].set(ny, mode="drop")
+    mips_x = (unpack(px_),) + state.mip_x[1:]
+    mips_y = (unpack(py_),) + state.mip_y[1:]
+    if when is not None:
+        skipped = jnp.where(when, skipped, 0)
+    return state._replace(mip_x=mips_x, mip_y=mips_y), skipped

@@ -49,7 +49,8 @@ import jax.numpy as jnp
 from supereight_tpu.constants import (BLOCK_SIDE, FAR_PLANE, INVALID,
                                       NEAR_PLANE, SURF_BOUNDARY)
 from supereight_tpu.core import se3
-from supereight_tpu.utils.loops import bounded_steps, lane_select
+from supereight_tpu.utils.loops import (bounded_steps, chunked_steps,
+                                        lane_select)
 
 MAX_JUMP = 6   # cap of the chebyshev block-distance transform
 
@@ -466,7 +467,7 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
                            else (v0 <= SURF_BOUNDARY))
     status0 = jnp.where(go, 0, 2).astype(jnp.int32)
 
-    def stage(carry, dxx, dyy, dzz, tff, steps):
+    def make_body(dxx, dyy, dzz, tff):
         def one(c):
             t, ss, f_t, f_tt, status = c
             mx, known, dist, in_block = _probe(
@@ -503,8 +504,12 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
             status = jnp.where(adv & (t >= tff), 2, status)
             return t, ss, f_t, f_tt, status
 
+        return one
+
+    def stage(carry, dxx, dyy, dzz, tff, steps):
         alive = lambda c: jnp.any(c[4] == 0)
-        return bounded_steps(one, carry, steps, alive)
+        return bounded_steps(make_body(dxx, dyy, dzz, tff), carry, steps,
+                             alive)
 
     t = tnear + 0.0
     ss = jnp.full((n,), largestep if is_tsdf else step)
@@ -547,9 +552,42 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
             min(steps, max_steps - done_budget))
         done_budget += steps
 
-    # rays still marching after the cascade are beyond-budget overflow:
-    # they miss for the frame, and are COUNTED so a scene exceeding the
-    # tuned budgets is observable (ADVICE r2; silent-drop accounting).
+    # catch-all straggler tail (VERDICT r3 weak #4): rays still live
+    # after the tuned cascade — an unfamiliar scene exceeding the
+    # measured decay — compact into a small rolled-loop stage bounded
+    # by max_steps instead of silently missing. The whole tail sits
+    # behind ONE scalar lax.cond: on well-budgeted frames (the normal
+    # case, overflow == 0) it costs a single predicate; the rolled-loop
+    # gather penalty (~3.4x, CLAUDE.md law 3) only applies to the rare
+    # straggler batch itself.
+    tail_chunk = 8
+    tail_chunks = max(0, (max_steps - done_budget) // tail_chunk)
+    tail_budget = min(n, 1024)
+    if tail_chunks > 0:
+        def tail(args):
+            t, ss, f_t, f_tt, status = args
+            wl = _compact(n, tail_budget, status == 0)
+            wlc = jnp.maximum(wl, 0)
+            sub_status = jnp.where(wl >= 0, 0, 2).astype(jnp.int32)
+            sub = (t[wlc], ss[wlc], f_t[wlc], f_tt[wlc], sub_status)
+            out = chunked_steps(
+                make_body(dx[wlc], dy[wlc], dz[wlc], tfar[wlc]), sub,
+                tail_chunks, tail_chunk, lambda c: jnp.any(c[4] == 0))
+
+            def put(full, vals):
+                return full.at[jnp.where(wl >= 0, wl, n)].set(
+                    vals, mode="drop")
+
+            return (put(t, out[0]), put(ss, out[1]), put(f_t, out[2]),
+                    put(f_tt, out[3]), put(status, out[4]))
+
+        t, ss, f_t, f_tt, status = jax.lax.cond(
+            jnp.any(status == 0), tail, lambda a: a,
+            (t, ss, f_t, f_tt, status))
+
+    # rays still marching after cascade + tail are beyond-budget
+    # overflow: they miss for the frame, and are COUNTED so a scene
+    # exceeding even the tail budget is observable (ADVICE r2).
     overflow = jnp.sum((status == 0).astype(jnp.int32))
 
     hit = status == 1

@@ -14,11 +14,20 @@ convergence flag, so one compiled program per pyramid level.
 """
 
 import functools
+import os
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Skip converged GN iterations with a scalar lax.cond instead of only
+# freezing their outputs: the unrolled iterations otherwise pay their
+# reference-map gather whether or not ||x|| already converged (the
+# reference BREAKS the level loop, tracking.cpp:183-185). Measured A/B
+# on TPU before enabling by default; SE_TPU_TRACK_CONDSKIP=0 restores
+# the always-execute form (diagnostic).
+_CONDSKIP = os.environ.get("SE_TPU_TRACK_CONDSKIP", "1") != "0"
 
 from supereight_tpu.constants import (DIST_THRESHOLD, INVALID,
                                       NORMAL_THRESHOLD, TRACK_BAD_NORMAL,
@@ -271,7 +280,7 @@ def track(pose, raycast_pose, k_full, pyr_vertex, pyr_normal, pyr_valid,
             inorm = jax.lax.dynamic_slice_in_dim(inorm, start, w_loc, 1)
             ival = jax.lax.dynamic_slice_in_dim(ival, start, w_loc, 1)
 
-        def one(c, iv=iv, inorm=inorm, ival=ival):
+        def body(c, iv=iv, inorm=inorm, ival=ival):
             pose, reduction, result, done = c
             res, err, jac = track_residuals(iv, inorm, ival, ref_vertex,
                                             ref_normal, ref_valid, pose,
@@ -284,6 +293,15 @@ def track(pose, raycast_pose, k_full, pyr_vertex, pyr_normal, pyr_valid,
             reduction = jnp.where(done, reduction, red)
             result = jnp.where(done, result, res)
             return (pose, reduction, result, done | converged)
+
+        if _CONDSKIP and axis_name is None:
+            # distributed mode keeps the unconditional form: a psum
+            # inside a cond branch would deadlock against devices that
+            # took the other branch
+            def one(c):
+                return jax.lax.cond(c[3], lambda cc: cc, body, c)
+        else:
+            one = body
 
         result0 = jnp.zeros(iv.shape[:2], jnp.int32)
         pose, reduction, result, _ = bounded_steps(

@@ -169,6 +169,7 @@ def frame_step(geom, field, state: FrameState, depth_m, k, frame,
            "alloc_overflow": alloc_overflow,
            "blocks_truncated": blocks_truncated,
            "patch_skipped": istats["patch_skipped"],
+           "mip_skipped": istats["mip_skipped"],
            "ray_overflow": rstats["ray_overflow"],
            # blocks allocated this frame past the strips pool bucket are
            # read as UNKNOWN by this frame's raycast (build_nav guard) —

@@ -163,7 +163,8 @@ class DenseSLAMSystem:
             with_stats=True)
         self.stats = dict(self.stats, alloc_overflow=astats["alloc_overflow"],
                           blocks_truncated=istats["blocks_truncated"],
-                          patch_skipped=istats.get("patch_skipped", 0))
+                          patch_skipped=istats.get("patch_skipped", 0),
+                          mip_skipped=istats.get("mip_skipped", 0))
         return True
 
     def raycasting(self, frame: int) -> bool:

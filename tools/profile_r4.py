@@ -41,20 +41,47 @@ def main():
         room=((0.55,) * 3, (4.25,) * 3))
     kj = jnp.asarray(k, jnp.float32)
 
-    fn = functools.partial(
-        pstep.frame_step, geom, field,
-        frame_size=(W, H), iterations=(10, 5, 4),
-        mu=0.1, icp_threshold=1e-5, neg_y=False, filter_input=False,
-        use_gt_pose=False, integration_rate=1, tracking_rate=1,
-        budget=budget)
     state = pstep.init_frame_state(geom, field, (W, H), poses[0])
-    print("warming frame_step...", file=sys.stderr)
-    t0 = time.perf_counter()
-    for i in range(8):
-        state, aux = fn(state, jnp.asarray(depths[i]), kj, jnp.int32(i))
-    jax.block_until_ready(state)
-    print(f"  compile+8 frames {time.perf_counter()-t0:.0f}s, "
-          f"blocks={int(state.map.n_blocks)}", file=sys.stderr)
+    if want("frame"):
+        fn = functools.partial(
+            pstep.frame_step, geom, field,
+            frame_size=(W, H), iterations=(10, 5, 4),
+            mu=0.1, icp_threshold=1e-5, neg_y=False, filter_input=False,
+            use_gt_pose=False, integration_rate=1, tracking_rate=1,
+            budget=budget)
+        print("warming frame_step...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        for i in range(8):
+            state, aux = fn(state, jnp.asarray(depths[i]), kj,
+                            jnp.int32(i))
+        jax.block_until_ready(state)
+        print(f"  compile+8 frames {time.perf_counter()-t0:.0f}s, "
+              f"blocks={int(state.map.n_blocks)}", file=sys.stderr,
+              flush=True)
+    else:
+        # stage-call warmup: small per-stage compiles only
+        from supereight_tpu.core import se3 as _se3
+        print("warming map via stage calls...", file=sys.stderr,
+              flush=True)
+        t0 = time.perf_counter()
+        mm = state.map
+        for i in range(8):
+            p = jnp.asarray(poses[i], jnp.float32)
+            d = jnp.asarray(depths[i])
+            mm = allocation.allocate_tsdf(geom, mm, d, p, kj, 0.1)
+            mm = integration.integrate(geom, mm, field, d, p, kj, 0.1,
+                                       i / 30.0, (W, H), budget=budget)
+        jax.block_until_ready(mm)
+        p = jnp.asarray(poses[7], jnp.float32)
+        state = state._replace(map=mm, pose=p, raycast_pose=p)
+        vrt, nrm, vld = raycast.raycast(
+            geom, mm, field,
+            jnp.matmul(p, _se3.inverse_camera_matrix(kj),
+                       precision=jax.lax.Precision.HIGHEST),
+            0.1, (W, H), pool_bucket=budget)
+        state = state._replace(vertex=vrt, normal=nrm, valid=vld)
+        print(f"  warm {time.perf_counter()-t0:.0f}s, "
+              f"blocks={int(mm.n_blocks)}", file=sys.stderr, flush=True)
     depth = jnp.asarray(depths[8])
     if want("frame"):
         # frame_step donates its state: time a threaded-state window and
@@ -129,10 +156,12 @@ def main():
                       precision=jax.lax.Precision.HIGHEST)
     prime = raycast.prime_from_depth(depth, kj)
     if want("rc"):
-        rc = jax.jit(lambda ms_, v, pt: raycast.raycast(
-            geom, ms_, field, v, 0.1, (W, H), prime_t=pt, pool_bucket=budget))
+        rc = functools.partial(raycast.raycast, geom, field=field, mu=0.1,
+                               frame_size=(W, H), pool_bucket=budget)
         print(f"raycast (primed)     "
-              f"{timed(rc, m_state, view, prime, tag='rc'):8.2f} ms", flush=True)
+              f"{timed(lambda m_, v, pt: rc(state=m_, view=v, prime_t=pt), m_state, view, prime, tag='rc'):8.2f} ms", flush=True)
+        print(f"raycast (cold)       "
+              f"{timed(lambda m_, v: rc(state=m_, view=v), m_state, view, tag='rcc'):8.2f} ms", flush=True)
 
     nv = jax.jit(functools.partial(raycast.build_nav, geom,
                                    bucket=budget))
