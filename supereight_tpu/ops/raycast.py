@@ -639,11 +639,13 @@ def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
     plus a stats dict (``ray_overflow``: rays still live past the march
     budget — they miss this frame) when ``with_stats``.
 
-    ``max_steps`` CAPS the compaction-cascade step budget; the effective
-    per-ray bound is min(max_steps, cascade total) — 96 fine steps primed
-    / 112 cold (_CASCADE_*), with empty-space jumps covering up to
-    MAX_JUMP blocks per step so a full near→far march fits the budget.
-    Rays needing more steps are counted in ``ray_overflow``.
+    ``max_steps`` is the true per-ray step bound: the tuned compaction
+    cascade covers 96 fine steps primed / 112 cold (_CASCADE_*, with
+    empty-space jumps of up to MAX_JUMP blocks per step), and rays
+    still live after it continue in the cond-gated straggler tail up to
+    ``max_steps``. Only rays exceeding max_steps (or the tail's
+    1024-ray compaction budget) miss the frame, counted in
+    ``ray_overflow``.
     """
     w, h = frame_size
     dxi, dyi, dzi = ray_directions_c(view, w, h)
