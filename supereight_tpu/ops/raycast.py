@@ -49,8 +49,7 @@ import jax.numpy as jnp
 from supereight_tpu.constants import (BLOCK_SIDE, FAR_PLANE, INVALID,
                                       NEAR_PLANE, SURF_BOUNDARY)
 from supereight_tpu.core import se3
-from supereight_tpu.utils.loops import (bounded_steps, chunked_steps,
-                                        lane_select)
+from supereight_tpu.utils.loops import bounded_steps, lane_select
 
 MAX_JUMP = 6   # cap of the chebyshev block-distance transform
 
@@ -433,11 +432,16 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     fill = 1.0 if is_tsdf else 0.0
 
     if prime_t is not None:
-        # two-phase primed start: try a TIGHT backoff first (fused
-        # surface sits within pose-error + fusion lag of the depth
-        # sample); rays whose tight start is not in known positive
-        # space fall back to a full-truncation-band backoff. Both are
-        # resolved by the same initial probe — one extra gather total.
+        # two-phase primed start resolved by ONE probe: try a TIGHT
+        # backoff first (fused surface sits within pose-error + fusion
+        # lag of the depth sample); rays whose tight start is not in
+        # known positive space fall back to a full-truncation-band
+        # backoff and march from there WITHOUT re-probing — their
+        # start-state check is subsumed by the first cascade step (a
+        # surface inside the fallback gap is by definition one the
+        # current depth sees through, i.e. exactly the documented
+        # priming deviation above; the re-probe cost a full-image
+        # gather pair per frame).
         big = (2.0 if is_tsdf else 6.0) * mu + 2.0 * geom.voxel_size
         small = 0.5 * mu + 2.0 * geom.voxel_size
         t_tight = jnp.where(prime_t > 0,
@@ -451,20 +455,17 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
                           jnp.where(prime_t > 0,
                                     jnp.maximum(tnear, prime_t - big),
                                     tnear))
-        # the tight probe doubles as the start-state check for the
-        # rays it validated; fallback rays re-check below
-        f0, known0, _, _ = _probe(geom, nav, strips, unk,
-                                  origin[0] + dx * tnear,
-                                  origin[1] + dy * tnear,
-                                  origin[2] + dz * tnear)
+        v0 = jnp.where(ok_tight, ft, fill)
+        go = (tnear < tfar) & ((v0 > 0) if is_tsdf
+                               else (v0 <= SURF_BOUNDARY))
     else:
         f0, known0, _, _ = _probe(geom, nav, strips, unk,
                                   origin[0] + dx * tnear,
                                   origin[1] + dy * tnear,
                                   origin[2] + dz * tnear)
-    v0 = jnp.where(known0, f0, fill)
-    go = (tnear < tfar) & ((v0 > 0) if is_tsdf
-                           else (v0 <= SURF_BOUNDARY))
+        v0 = jnp.where(known0, f0, fill)
+        go = (tnear < tfar) & ((v0 > 0) if is_tsdf
+                               else (v0 <= SURF_BOUNDARY))
     status0 = jnp.where(go, 0, 2).astype(jnp.int32)
 
     def make_body(dxx, dyy, dzz, tff):
@@ -529,27 +530,42 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
                                      min(first_steps, max_steps))
     done_budget = first_steps
 
-    def substage(t, ss, f_t, f_tt, status, frac, steps):
+    # ---- packed substate rows --------------------------------------
+    # Substages compact the live rays; gathering the NINE per-ray
+    # state/direction arrays separately costs ~9 single-f32 rows per
+    # compacted ray (~60 ns) plus 5 scatters back — measured r4
+    # (tools/march_scaling_r4.py) this compaction overhead DWARFED the
+    # actual probe rows (stage1: 5.7 ms for 127k probes). Packing
+    # (t, ss, f_t, f_tt, status, dx, dy, dz, tfar) into one 16-wide f32
+    # row makes compaction ONE row gather + ONE row scatter per ray
+    # (~5 ns each, CLAUDE.md law 1/2).
+    def pack_state(t, ss, f_t, f_tt, status):
+        return jnp.stack(
+            [t, ss, f_t, f_tt, status.astype(jnp.float32),
+             dx, dy, dz, tfar] + [jnp.zeros((n,))] * 7, axis=-1)
+
+    packed = pack_state(t, ss, f_t, f_tt, status)
+
+    def substage(packed, frac, steps):
         budget = min(n, max(1024, int(n * frac)))
-        wl = _compact(n, budget, status == 0)
+        wl = _compact(n, budget, packed[:, 4] == 0)
         wlc = jnp.maximum(wl, 0)
-        sub_status = jnp.where(wl >= 0, 0, 2).astype(jnp.int32)
-        sub = (t[wlc], ss[wlc], f_t[wlc], f_tt[wlc], sub_status)
+        rows = packed[wlc]                               # [budget, 16]
+        sub_status = jnp.where(wl >= 0, rows[:, 4], 2.0).astype(jnp.int32)
+        sub = (rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3], sub_status)
         s_t, s_ss, s_ft, s_ftt, s_status = stage(
-            sub, dx[wlc], dy[wlc], dz[wlc], tfar[wlc], steps)
-
-        def put(full, vals):
-            return full.at[jnp.where(wl >= 0, wl, n)].set(vals, mode="drop")
-
-        return (put(t, s_t), put(ss, s_ss), put(f_t, s_ft),
-                put(f_tt, s_ftt), put(status, s_status))
+            sub, rows[:, 5], rows[:, 6], rows[:, 7], rows[:, 8], steps)
+        new_rows = jnp.concatenate(
+            [jnp.stack([s_t, s_ss, s_ft, s_ftt,
+                        s_status.astype(jnp.float32)], axis=-1),
+             rows[:, 5:]], axis=-1)
+        return packed.at[jnp.where(wl >= 0, wl, n)].set(new_rows,
+                                                        mode="drop")
 
     for steps, frac in cascade[1:]:
         if done_budget >= max_steps:
             break
-        t, ss, f_t, f_tt, status = substage(
-            t, ss, f_t, f_tt, status, frac,
-            min(steps, max_steps - done_budget))
+        packed = substage(packed, frac, min(steps, max_steps - done_budget))
         done_budget += steps
 
     # catch-all straggler tail (VERDICT r3 weak #4): rays still live
@@ -560,30 +576,40 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     # case, overflow == 0) it costs a single predicate; the rolled-loop
     # gather penalty (~3.4x, CLAUDE.md law 3) only applies to the rare
     # straggler batch itself.
-    tail_chunk = 8
-    tail_chunks = max(0, (max_steps - done_budget) // tail_chunk)
+    tail_steps = max(0, max_steps - done_budget)
     tail_budget = min(n, 1024)
-    if tail_chunks > 0:
-        def tail(args):
-            t, ss, f_t, f_tt, status = args
-            wl = _compact(n, tail_budget, status == 0)
+    if tail_steps > 0:
+        def tail(packed):
+            wl = _compact(n, tail_budget, packed[:, 4] == 0)
             wlc = jnp.maximum(wl, 0)
-            sub_status = jnp.where(wl >= 0, 0, 2).astype(jnp.int32)
-            sub = (t[wlc], ss[wlc], f_t[wlc], f_tt[wlc], sub_status)
-            out = chunked_steps(
-                make_body(dx[wlc], dy[wlc], dz[wlc], tfar[wlc]), sub,
-                tail_chunks, tail_chunk, lambda c: jnp.any(c[4] == 0))
+            rows = packed[wlc]
+            sub_status = jnp.where(wl >= 0, rows[:, 4],
+                                   2.0).astype(jnp.int32)
+            sub = (rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3],
+                   sub_status)
+            body = make_body(rows[:, 5], rows[:, 6], rows[:, 7],
+                             rows[:, 8])
+            # single-body bounded while_loop: ONE probe body to compile
+            # (an unrolled or chunk-unrolled tail ballooned XLA compile
+            # time); per-step rolled-gather penalty (~3.4x) applies only
+            # to this <=1024-lane straggler batch
+            out = jax.lax.while_loop(
+                lambda c: (c[0] < tail_steps) & jnp.any(c[1][4] == 0),
+                lambda c: (c[0] + 1, body(c[1])),
+                (jnp.int32(0), sub))[1]
+            new_rows = jnp.concatenate(
+                [jnp.stack([out[0], out[1], out[2], out[3],
+                            out[4].astype(jnp.float32)], axis=-1),
+                 rows[:, 5:]], axis=-1)
+            return packed.at[jnp.where(wl >= 0, wl, n)].set(new_rows,
+                                                            mode="drop")
 
-            def put(full, vals):
-                return full.at[jnp.where(wl >= 0, wl, n)].set(
-                    vals, mode="drop")
+        packed = jax.lax.cond(jnp.any(packed[:, 4] == 0), tail,
+                              lambda p: p, packed)
 
-            return (put(t, out[0]), put(ss, out[1]), put(f_t, out[2]),
-                    put(f_tt, out[3]), put(status, out[4]))
-
-        t, ss, f_t, f_tt, status = jax.lax.cond(
-            jnp.any(status == 0), tail, lambda a: a,
-            (t, ss, f_t, f_tt, status))
+    t, ss, f_t, f_tt = (packed[:, 0], packed[:, 1], packed[:, 2],
+                        packed[:, 3])
+    status = packed[:, 4].astype(jnp.int32)
 
     # rays still marching after cascade + tail are beyond-budget
     # overflow: they miss for the frame, and are COUNTED so a scene

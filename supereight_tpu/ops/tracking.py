@@ -22,12 +22,13 @@ import jax.numpy as jnp
 import numpy as np
 
 # Skip converged GN iterations with a scalar lax.cond instead of only
-# freezing their outputs: the unrolled iterations otherwise pay their
-# reference-map gather whether or not ||x|| already converged (the
-# reference BREAKS the level loop, tracking.cpp:183-185). Measured A/B
-# on TPU before enabling by default; SE_TPU_TRACK_CONDSKIP=0 restores
-# the always-execute form (diagnostic).
-_CONDSKIP = os.environ.get("SE_TPU_TRACK_CONDSKIP", "1") != "0"
+# freezing their outputs (the reference BREAKS the level loop,
+# tracking.cpp:183-185). DEFAULT OFF: 19 cond-wrapped gather bodies
+# ballooned the remote TPU compile of the tracking program from ~40 s
+# to >10 min (measured r4, tools/compile_triage.py) — the runtime win
+# never got measured because the compile never finished in budget.
+# SE_TPU_TRACK_CONDSKIP=1 enables it for experiments.
+_CONDSKIP = os.environ.get("SE_TPU_TRACK_CONDSKIP", "0") == "1"
 
 from supereight_tpu.constants import (DIST_THRESHOLD, INVALID,
                                       NORMAL_THRESHOLD, TRACK_BAD_NORMAL,

@@ -90,7 +90,10 @@ def main():
         from supereight_tpu.utils import deviceprof
         trace_dir = "/tmp/jtt_frame_w"
         shutil.rmtree(trace_dir, ignore_errors=True)
-        s2 = state
+        # frame_step donates: thread a device COPY so `state` stays
+        # alive for the stage pieces below
+        s2 = jax.tree.map(jnp.copy, state)
+        jax.block_until_ready(s2)
         with jax.profiler.trace(trace_dir):
             for j in range(4):
                 s2, _ = fn(s2, depth, kj, jnp.int32(8 + j))
