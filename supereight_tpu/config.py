@@ -55,8 +55,10 @@ class Configuration:
         if self.block_capacity is not None:
             return self.block_capacity
         b = self.volume_resolution // 8
-        # surface-shell heuristic: ~6 faces of the block grid, capped
-        return min(b ** 3, max(16384, 8 * b * b))
+        # surface-shell heuristic: ~6 faces of the block grid plus band
+        # thickness headroom (the 250-frame loop room at 512^3 fuses
+        # ~36k blocks and overflowed the old 8*b*b = 32k pool — r4)
+        return min(b ** 3, max(16384, 12 * b * b))
 
 
 def default_camera(width: int, height: int):

@@ -577,7 +577,13 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     # gather penalty (~3.4x, CLAUDE.md law 3) only applies to the rare
     # straggler batch itself.
     tail_steps = max(0, max_steps - done_budget)
-    tail_budget = min(n, 1024)
+    # 4096 covers the straggler population of frames with a few percent
+    # of zero-depth (beyond-range) pixels — those rays march COLD
+    # inside a primed frame and overflow the late-stage budgets (the
+    # 250-frame loop eval measured ~1.3k such rays/frame); the tail is
+    # scalar-cond-skipped on clean frames so the larger budget costs
+    # nothing there
+    tail_budget = min(n, 4096)
     if tail_steps > 0:
         def tail(packed):
             wl = _compact(n, tail_budget, packed[:, 4] == 0)

@@ -66,7 +66,7 @@ def main():
     ap.add_argument("--noise", type=float, default=0.0,
                     help="extra noisy-depth variant with this factor")
     ap.add_argument("--variant", default="",
-                    help="run only this variant (substring match) — lets "
+                    help="run only this variant (exact name, or 'noise') — lets "
                          "each run fit a background time slot; results "
                          "accumulate as JSON in --workdir and --out "
                          "renders every variant seen so far")
@@ -92,7 +92,7 @@ def main():
     results_dir = os.path.join(wd, "results")
     os.makedirs(results_dir, exist_ok=True)
     for name, extra in variants:
-        if args.variant and args.variant not in name:
+        if args.variant and args.variant != name:
             continue
         log = os.path.join(wd, name.replace(" ", "_").replace("+", "_")
                            + ".log")
@@ -108,7 +108,7 @@ def main():
             json.dump({"name": name, **{k: v for k, v in r.items()
                                         if k != "stderr"}}, f)
 
-    if args.noise > 0 and (not args.variant or "noise" in args.variant):
+    if args.noise > 0 and (not args.variant or args.variant == "noise"):
         raw_n = os.path.join(wd, "loop_noisy.raw")
         if not os.path.exists(raw_n):
             from supereight_tpu.io.convert import synthetic2raw
