@@ -387,7 +387,12 @@ def _compact(n, budget, mask):
 # 31% after 12, 8.8% after 24, 0.2% by 32. OFusion 1-voxel-crawls the
 # surface-band blocks so it decays slower (measured cold: 39% after
 # 16, 6% after 32, 0 by ~56).
-_CASCADE_PRIMED_TSDF = ((3, 1.0), (3, 0.55), (6, 0.18), (16, 1.0 / 24.0),
+# r4 rebalance (tools/march_scaling_r4.py): a full-width step costs
+# ~1.6 ms, so stage0 drops to 2 steps (49% of primed rays finish by 2 —
+# march_live_counts) and stage1 absorbs the difference at 0.50 budget;
+# stage budgets run closer to the measured live decay now that the
+# 4096-ray cond-skipped tail backstops misjudged frames.
+_CASCADE_PRIMED_TSDF = ((2, 1.0), (4, 0.50), (6, 0.15), (16, 1.0 / 24.0),
                         (36, 1.0 / 64.0))
 _CASCADE_COLD_TSDF = ((6, 1.0), (6, 0.70), (12, 0.36), (12, 0.12),
                       (28, 1.0 / 32.0))
