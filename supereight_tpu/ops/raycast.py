@@ -396,8 +396,16 @@ _CASCADE_PRIMED_TSDF = ((2, 1.0), (4, 0.50), (6, 0.15), (16, 1.0 / 24.0),
                         (36, 1.0 / 64.0))
 _CASCADE_COLD_TSDF = ((6, 1.0), (6, 0.70), (12, 0.36), (12, 0.12),
                       (28, 1.0 / 32.0))
-_CASCADE_PRIMED_OF = ((4, 1.0), (12, 1.0 / 2.0), (32, 1.0 / 8.0),
-                      (48, 1.0 / 24.0))
+# OF live rays decay slowly even primed: the tight backoff often lands
+# inside the bspline's positive band (sigma ~ 2 voxels), falling back
+# to the 7-voxel backoff, and the in-band march is 1-voxel steps — so
+# unlike TSDF the budgets here must stay WIDE (tighter r4 variants cut
+# probes 50% but dropped ~0.6% of rays into overflow; width, not step
+# depth, was the binding constraint). Modest trim of the r3 shape; a
+# real OF march redesign (multi-voxel band stepping against the
+# quantized coarse payload) is the open item.
+_CASCADE_PRIMED_OF = ((4, 1.0), (10, 1.0 / 2.0), (24, 1.0 / 8.0),
+                      (40, 1.0 / 24.0))
 _CASCADE_COLD_OF = ((16, 1.0), (16, 1.0 / 2.0), (32, 1.0 / 8.0),
                     (48, 1.0 / 24.0))
 
