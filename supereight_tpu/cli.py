@@ -64,6 +64,11 @@ def main(argv=None):
                         help="write estimated trajectory (TUM format)")
     parser.add_argument("--groundtruth-mode", action="store_true",
                         help="bypass tracking, use ground-truth poses")
+    parser.add_argument("--plot-out", type=str, default="",
+                        help="write live perf/trajectory plots to this "
+                             "PNG, refreshed every rendering_rate frames "
+                             "(headless equivalent of the reference Qt "
+                             "GUI stat plots, QtGUI.cpp:201-313)")
     parser.add_argument("--dump-renders", type=str, default="",
                         help="directory for 2x2 composite snapshots at "
                              "every render (viewer.composite_views)")
@@ -125,6 +130,7 @@ def main(argv=None):
     print(LOG_HEADER, file=log)
 
     est_traj = []
+    log_rows = []
     frame = 0
     t_start = time.perf_counter()
     while True:
@@ -192,7 +198,22 @@ def main(argv=None):
                f"{pos[0]:.6f}\t{pos[1]:.6f}\t{pos[2]:.6f}\t"
                f"{int(tracked)}\t{int(integrated)}")
         print(row, file=log)
+        log_rows.append({"frame": frame, "preprocessing": t_pre - t_acq,
+                         "tracking": t_track - t_pre,
+                         "integration": t_int - t_track,
+                         "raycasting": t_ray - t_int,
+                         "rendering": t_render - t_ray,
+                         "computation": t_ray - t_pre,
+                         "X": pos[0], "Y": pos[1], "Z": pos[2]})
         stats.sample("computation", t_ray - t_pre, StatType.TIME)
+        if args.plot_out and cfg.rendering_rate > 0 \
+                and frame % cfg.rendering_rate == 0 and frame > 2:
+            from supereight_tpu import plots
+            plots.plot_run(
+                log_rows, args.plot_out,
+                gt_xyz=None if gt_poses is None else
+                np.asarray([p[:3, 3] for p in gt_poses[:frame + 1]]),
+                est_xyz=np.asarray([r[1:4] for r in est_traj]))
 
         # BA corrections (identity when keyframes are off) apply to the
         # published trajectory
@@ -211,6 +232,15 @@ def main(argv=None):
     if drops:
         print("# drop counters (should be 0; nonzero = budgets too small "
               f"for this scene): {drops}", file=sys.stderr)
+
+    if args.plot_out and log_rows:
+        from supereight_tpu import plots
+        plots.plot_run(
+            log_rows, args.plot_out,
+            gt_xyz=None if gt_poses is None else
+            np.asarray([p[:3, 3] for p in gt_poses[:frame]]),
+            est_xyz=np.asarray([r[1:4] for r in est_traj]))
+        print(f"# stats plot: {args.plot_out}", file=sys.stderr)
 
     if args.trajectory_out:
         with open(args.trajectory_out, "w") as f:

@@ -70,3 +70,15 @@ def test_device_monitor_runs():
     mon = DeviceMonitor()
     stats = mon.sample()
     assert stats is not None  # stats may be empty on some backends
+
+
+def test_live_plot(tmp_path):
+    """plots.plot_run renders the QtGUI-equivalent stat panels."""
+    from supereight_tpu import plots
+    rows = [{"frame": i, "preprocessing": 0.001, "tracking": 0.01,
+             "integration": 0.02, "raycasting": 0.015, "rendering": 0.0,
+             "computation": 0.046, "X": 0.1 * i, "Y": 0.0, "Z": 0.2}
+            for i in range(10)]
+    out = tmp_path / "plot.png"
+    plots.plot_run(rows, str(out))
+    assert out.exists() and out.stat().st_size > 10000
