@@ -42,6 +42,7 @@ marching table under the ~96 MB fast-gather threshold):
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -204,10 +205,20 @@ def build_strips(geom, state, field, bucket=None):
     cap = geom.capacity if bucket is None else min(bucket, geom.capacity)
     b = geom.blocks_per_side
     unk = _sentinel(field)
+    # f32 strip rows by default: removing the bf16 convert from the
+    # probe gathers measured 32.7 -> 36.8 fps at the bench config (r4).
+    # Above ~16k pool rows the f32 table (4 KB/block) would cross the
+    # ~96 MB fast-gather zone (law 1), so big maps fall back to bf16
+    # (<1 mm surface noise, the r3 default). SE_TPU_STRIPS_BF16=1
+    # forces bf16 everywhere (diagnostic).
+    if os.environ.get("SE_TPU_STRIPS_BF16") == "1" or cap > 16384:
+        dt = jnp.bfloat16
+    else:
+        dt = jnp.float32
     vals = jnp.where(state.data_y[:cap] == 0, unk,
-                     state.data_x[:cap]).astype(jnp.bfloat16)
+                     state.data_x[:cap]).astype(dt)
     vals = jnp.concatenate(
-        [jnp.full((1, vals.shape[1]), unk, jnp.bfloat16), vals])
+        [jnp.full((1, vals.shape[1]), unk, dt), vals])
 
     # next-x brick slot per pool slot (edge / unallocated -> sentinel)
     bx = state.block_coord[:cap, 0] + 1
