@@ -173,6 +173,25 @@ def build_nav(geom, state, field=None, bucket=None):
     return jnp.where(ok, state.slot, -(1 + e)).reshape(-1)
 
 
+def strips_dtype(n_bricks):
+    """Strip-table dtype rule, shared by the single-chip table
+    (build_strips) and the distributed halo table
+    (parallel/dist_step.py) so the two raycast paths always march at
+    the same precision (the frame-by-frame dist == single invariant,
+    tests/test_dist.py).
+
+    f32 rows by default: removing the bf16 convert from the probe
+    gathers measured 32.7 -> 36.8 fps at the bench config (r4). Above
+    ~16k brick rows the f32 table (4 KB/block) would cross the ~96 MB
+    fast-gather zone (CLAUDE.md law 1), so big tables fall back to
+    bf16 (<1 mm surface noise, the r3 default). SE_TPU_STRIPS_BF16=1
+    forces bf16 everywhere (diagnostic).
+    """
+    if os.environ.get("SE_TPU_STRIPS_BF16") == "1" or n_bricks > 16384:
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def build_strips(geom, state, field, bucket=None):
     """bf16 [(bucket+1)*64, 16] marching/interp strips: each row is a
     brick's x-line (lanes 0-7, strip id y + 8z) concatenated with the
@@ -205,16 +224,7 @@ def build_strips(geom, state, field, bucket=None):
     cap = geom.capacity if bucket is None else min(bucket, geom.capacity)
     b = geom.blocks_per_side
     unk = _sentinel(field)
-    # f32 strip rows by default: removing the bf16 convert from the
-    # probe gathers measured 32.7 -> 36.8 fps at the bench config (r4).
-    # Above ~16k pool rows the f32 table (4 KB/block) would cross the
-    # ~96 MB fast-gather zone (law 1), so big maps fall back to bf16
-    # (<1 mm surface noise, the r3 default). SE_TPU_STRIPS_BF16=1
-    # forces bf16 everywhere (diagnostic).
-    if os.environ.get("SE_TPU_STRIPS_BF16") == "1" or cap > 16384:
-        dt = jnp.bfloat16
-    else:
-        dt = jnp.float32
+    dt = strips_dtype(cap)
     vals = jnp.where(state.data_y[:cap] == 0, unk,
                      state.data_x[:cap]).astype(dt)
     vals = jnp.concatenate(
@@ -622,7 +632,7 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
             # single-body bounded while_loop: ONE probe body to compile
             # (an unrolled or chunk-unrolled tail ballooned XLA compile
             # time); per-step rolled-gather penalty (~3.4x) applies only
-            # to this <=1024-lane straggler batch
+            # to this <=4096-lane straggler batch
             out = jax.lax.while_loop(
                 lambda c: (c[0] < tail_steps) & jnp.any(c[1][4] == 0),
                 lambda c: (c[0] + 1, body(c[1])),
@@ -700,7 +710,7 @@ def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
     empty-space jumps of up to MAX_JUMP blocks per step), and rays
     still live after it continue in the cond-gated straggler tail up to
     ``max_steps``. Only rays exceeding max_steps (or the tail's
-    1024-ray compaction budget) miss the frame, counted in
+    4096-ray compaction budget) miss the frame, counted in
     ``ray_overflow``.
     """
     w, h = frame_size

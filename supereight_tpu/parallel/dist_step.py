@@ -319,10 +319,15 @@ def make_dist_step(mesh: Mesh, geom: MapGeometry, field, *, frame_size,
             bc = lmap.block_coord[slots]
             cells = ((bc[:, 0] * b + bc[:, 1]) * b + bc[:, 2])
             cells = jnp.where(present, cells, b ** 3)
+            # dtype MUST follow the same bucket-size rule as the
+            # single-chip strip table (raycast.strips_dtype) or the two
+            # raycast paths march at different precisions and the dist
+            # trajectory diverges from single-device (r4 regression:
+            # f32 single vs bf16 halo cost 6.3 mm by frame 4).
+            dt = raycast.strips_dtype(d * halo_budget)
             vals = jnp.where(lmap.data_y[slots] == 0, unk,
-                             lmap.data_x[slots]).astype(jnp.bfloat16)
-            vals = jnp.where(present[:, None], vals,
-                             jnp.bfloat16(unk))
+                             lmap.data_x[slots]).astype(dt)
+            vals = jnp.where(present[:, None], vals, jnp.asarray(unk, dt))
 
             # the halo all-gather: D x halo_budget bricks (2 KB bf16 each)
             cells_g = jax.lax.all_gather(cells, AXIS, tiled=True)
@@ -351,7 +356,7 @@ def make_dist_step(mesh: Mesh, geom: MapGeometry, field, *, frame_size,
             nav = jnp.where(gslot >= 0, gslot, -(1 + e))
 
             vals_pad = jnp.concatenate(
-                [jnp.full((1, BLOCK_VOXELS), unk, jnp.bfloat16), vals_g])
+                [jnp.full((1, BLOCK_VOXELS), unk, dt), vals_g])
             ncells = jnp.where(cells_g < b ** 3, cells_g + b * b, b ** 3)
             ncells = jnp.where((cells_g // (b * b)) + 1 < b, ncells,
                                b ** 3)

@@ -38,10 +38,13 @@ def main():
     jax.block_until_ready(m)
     print(f"blocks: {int(m.n_blocks)}", flush=True)
 
-    nav = raycast.build_nav4(raycast.build_nav(geom, m),
-                             geom.blocks_per_side)
+    # keep the PLAIN nav for _march (which applies build_nav4 itself);
+    # only direct _probe/_interp_grad calls take the nav4 form
+    # (ADVICE r4: double-wrapping broke the march/interp stages)
+    nav = raycast.build_nav(geom, m)
+    nav4 = raycast.build_nav4(nav, geom.blocks_per_side)
     strips = raycast.build_strips(geom, m, field)
-    jax.block_until_ready((nav, strips))
+    jax.block_until_ready((nav, nav4, strips))
 
     p = jnp.asarray(poses[5], jnp.float32)
     view = jnp.matmul(p, se3.inverse_camera_matrix(kj),
@@ -55,19 +58,19 @@ def main():
 
     unk = raycast._sentinel(field)
 
-    def probe16(nav, strips, t0):
+    def probe16(nv4, strips, t0):
         t = t0
         acc = jnp.zeros_like(t)
         for _ in range(16):
-            v, known, dist = raycast._probe(
-                geom, nav, strips, unk,
+            v, known, dist, _ = raycast._probe(
+                geom, nv4, strips, unk,
                 origin[0] + dx * t, origin[1] + dy * t,
                 origin[2] + dz * t)
             acc = acc + v
             t = t + jnp.where(known, 0.05, dist * 0.075 + 0.0375)
         return acc
 
-    ms = timed(jax.jit(probe16), nav, strips, tnear, tag="p16")
+    ms = timed(jax.jit(probe16), nav4, strips, tnear, tag="p16")
     print(f"probe x16 @76800: {ms:8.3f} ms ({ms/16/N*1e6:5.1f} ns/probe)")
 
     # full march step (the stage body) — measured via _march at
