@@ -431,16 +431,56 @@ _CASCADE_COLD_OF = ((16, 1.0), (16, 1.0 / 2.0), (32, 1.0 / 8.0),
                     (48, 1.0 / 24.0))
 
 
+def camera_zcos(view, dx, dy, dz):
+    """Per-ray cosine between the ray direction and the camera's optical
+    axis, from the raycast ``view`` matrix (= pose @ invK): the axis is
+    normalize(col0 x col1) = R[:, 2] (cross of scaled rotation columns).
+
+    z_cam(t) = t * zcos exactly (the camera sits at the ray origin), so
+    the march can evaluate the sensor noise model sigma(z) =
+    clamp(noiseFactor * z^2, 2 voxel, 0.05) (bfusion/mapping_impl.hpp:
+    169-171) at any marched position. The distributed halo path MUST use
+    this same helper on the same view matrix (dist/single parity).
+    """
+    ax = view[1, 0] * view[2, 1] - view[2, 0] * view[1, 1]
+    ay = view[2, 0] * view[0, 1] - view[0, 0] * view[2, 1]
+    az = view[0, 0] * view[1, 1] - view[1, 0] * view[0, 1]
+    inv = jax.lax.rsqrt(ax * ax + ay * ay + az * az)
+    return dx * (ax * inv) + dy * (ay * inv) + dz * (az * inv)
+
+
 def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
            step, largestep, max_steps, nav=None, strips=None,
-           prime_t=None, pool_bucket=None):
+           prime_t=None, pool_bucket=None, zcos=None):
     """Lockstep field march, TSDF sphere tracing or occupancy stepping.
 
     TSDF behavior of kfusion/rendering_impl.hpp:34-74 (marching on
     voxel samples; the reference's in-band interp switch is deferred to
     the trilinear Newton refinement in :func:`raycast` — same sub-voxel
-    result, an order of magnitude fewer gather rows). OFusion behavior
-    of bfusion/rendering_impl.hpp:35-68 (constant step in known space).
+    result, an order of magnitude fewer gather rows), PLUS a bounded-
+    budget escalation the unbounded reference loop doesn't need: a ray
+    whose step stays clamped at the 1-voxel floor (grazing-incidence
+    crawl along a near-surface path, f ~ 0 for a meter —
+    rendering_impl.hpp:60 marches these unbounded) raises its step
+    floor by one voxel every 8 consecutive floor-steps, up to 4 voxels
+    (<= the mu band half-width 2mu = 21 voxels at the bench config, so
+    a true crossing still lands >= 1 probe per sign regime; the wider
+    bracket is resolved by the Newton refinement, and at grazing
+    incidence the along-ray bracket error projects onto the normal by
+    sin(incidence) ~ 0). This is the r4 EVAL "4-frame overflow burst"
+    fix: crawling rays finish inside the cascade instead of spilling.
+
+    OFusion behavior of bfusion/rendering_impl.hpp:35-68 (constant step
+    in known space), with multi-voxel band stepping when ``zcos`` is
+    given (the r4 VERDICT redesign): inside allocated blocks the step is
+    0.5 * sigma(z) = 0.5 * clamp(noiseFactor * z^2, 2 voxel, 0.05)
+    (the sensor model's own transition scale, mapping_impl.hpp:169-171
+    — the log-odds field cannot vary faster than sigma), clamped to
+    [1 voxel, min(2.4 voxel, 2.7 * noiseFactor_band)] so at least one
+    probe lands in the allocated positive shell behind the surface
+    (+3 mu along-ray, bfusion/alloc_impl.hpp band; 2.56 voxels at the
+    bench config). Documented deviation: the reference 1-voxel-steps
+    all known space; the bracket refinement restores sub-voxel hits.
 
     ``prime_t`` (optional, [n]): per-ray surface-distance prediction
     from the CURRENT depth frame. When the raycast pose equals the
@@ -502,9 +542,17 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
                                else (v0 <= SURF_BOUNDARY))
     status0 = jnp.where(go, 0, 2).astype(jnp.int32)
 
-    def make_body(dxx, dyy, dzz, tff):
+    # static metric cap of the OFusion in-band step: never exceed 2.4
+    # voxels (a probe must land in every >= 2.56-voxel shell) nor 90%
+    # of the +3*noiseFactor-band allocated behind the surface (coarse
+    # maps where 3*mu < a voxel keep the exact 1-voxel reference step)
+    # jnp (not python min/max): mu is traced in some entry points
+    # (pipeline's standalone raycast jit)
+    of_cap = jnp.maximum(step, jnp.minimum(2.4 * step, 2.7 * mu))
+
+    def make_body(dxx, dyy, dzz, tff, czz):
         def one(c):
-            t, ss, f_t, f_tt, status = c
+            t, ss, f_t, f_tt, status, crawl = c
             mx, known, dist, in_block = _probe(
                 geom, nav, strips, unk,
                 origin[0] + dxx * t, origin[1] + dyy * t,
@@ -515,12 +563,29 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
             if is_tsdf:
                 f_tt = jnp.where(active & known, mx, f_tt)
                 f_t = jnp.where(active & known & ~hit, mx, f_t)
-                known_step = jnp.maximum(f_tt * mu, step)
+                # crawl escalation, engaging only after 16 CONSECUTIVE
+                # floor-clamped steps (a perpendicular final approach
+                # has <= ~3; the r4 overflow-burst rays crawl 100+), so
+                # ordinary hits keep the exact reference march: then
+                # +1 voxel of floor per further 8 crawl steps, capped
+                # at 4 voxels AND at 0.4 mu (coarse maps where mu is
+                # only a few voxels would otherwise step over the
+                # whole +-mu band)
+                esc = jnp.maximum(crawl - 16.0, 0.0)
+                floor = jnp.minimum(
+                    step * (1.0 + jnp.minimum(esc * 0.125, 3.0)),
+                    jnp.maximum(jnp.float32(step), 0.4 * mu))
+                known_step = jnp.maximum(f_tt * mu, floor)
                 fine = known
             else:
                 f_tt = jnp.where(active & known, mx, f_tt)
                 f_t = jnp.where(active & ~hit, f_tt, f_t)
-                known_step = step
+                if czz is None:
+                    known_step = step
+                else:
+                    z = t * czz
+                    sigma = jnp.clip(mu * z * z, 2.0 * step, 0.05)
+                    known_step = jnp.clip(0.5 * sigma, step, of_cap)
                 # coarse-known free space (known & ~in_block) is
                 # value-constant per traversed cell, so it is jumped at
                 # block granularity instead of 1-voxel-stepped — the
@@ -533,24 +598,33 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
                                + 0.5 * largestep)
             new_ss = jnp.where(fine, known_step, jump)
             adv = active & ~hit
+            if is_tsdf:
+                # count consecutive advancing steps where the floor is
+                # the binding constraint (the grazing-crawl regime) —
+                # NOT `new_ss < const`, which would reset the counter as
+                # soon as the escalated floor takes effect
+                crawling = adv & fine & (f_tt * mu <= floor)
+                crawl = jnp.where(crawling, crawl + 1.0,
+                                  jnp.where(adv, 0.0, crawl))
             ss = jnp.where(adv, new_ss, ss)
             t = jnp.where(adv, t + ss, t)
             status = jnp.where(hit, 1, status)
             status = jnp.where(adv & (t >= tff), 2, status)
-            return t, ss, f_t, f_tt, status
+            return t, ss, f_t, f_tt, status, crawl
 
         return one
 
-    def stage(carry, dxx, dyy, dzz, tff, steps):
+    def stage(carry, dxx, dyy, dzz, tff, czz, steps):
         alive = lambda c: jnp.any(c[4] == 0)
-        return bounded_steps(make_body(dxx, dyy, dzz, tff), carry, steps,
-                             alive)
+        return bounded_steps(make_body(dxx, dyy, dzz, tff, czz), carry,
+                             steps, alive)
 
     t = tnear + 0.0
     ss = jnp.full((n,), largestep if is_tsdf else step)
     f_t = jnp.full((n,), jnp.inf) if is_tsdf else jnp.zeros((n,))
     f_tt = jnp.zeros((n,))
     status = status0
+    crawl = jnp.zeros((n,))
 
     if is_tsdf:
         cascade = (_CASCADE_PRIMED_TSDF if prime_t is not None
@@ -559,26 +633,29 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
         cascade = (_CASCADE_PRIMED_OF if prime_t is not None
                    else _CASCADE_COLD_OF)
     first_steps, _ = cascade[0]
-    t, ss, f_t, f_tt, status = stage((t, ss, f_t, f_tt, status),
-                                     dx, dy, dz, tfar,
-                                     min(first_steps, max_steps))
+    t, ss, f_t, f_tt, status, crawl = stage(
+        (t, ss, f_t, f_tt, status, crawl), dx, dy, dz, tfar, zcos,
+        min(first_steps, max_steps))
     done_budget = first_steps
 
     # ---- packed substate rows --------------------------------------
-    # Substages compact the live rays; gathering the NINE per-ray
-    # state/direction arrays separately costs ~9 single-f32 rows per
-    # compacted ray (~60 ns) plus 5 scatters back — measured r4
+    # Substages compact the live rays; gathering the per-ray
+    # state/direction arrays separately costs ~1 single-f32 row each per
+    # compacted ray (~60 ns total) plus 5+ scatters back — measured r4
     # (tools/march_scaling_r4.py) this compaction overhead DWARFED the
     # actual probe rows (stage1: 5.7 ms for 127k probes). Packing
-    # (t, ss, f_t, f_tt, status, dx, dy, dz, tfar) into one 16-wide f32
-    # row makes compaction ONE row gather + ONE row scatter per ray
-    # (~5 ns each, CLAUDE.md law 1/2).
-    def pack_state(t, ss, f_t, f_tt, status):
-        return jnp.stack(
-            [t, ss, f_t, f_tt, status.astype(jnp.float32),
-             dx, dy, dz, tfar] + [jnp.zeros((n,))] * 7, axis=-1)
+    # (t, ss, f_t, f_tt, status, crawl | dx, dy, dz, tfar, zcos) into
+    # one 16-wide f32 row makes compaction ONE row gather + ONE row
+    # scatter per ray (~5 ns each, CLAUDE.md law 1/2). Layout: mutable
+    # state in lanes 0-5, per-ray constants in lanes 6-10.
+    zc = jnp.ones((n,)) if zcos is None else zcos
 
-    packed = pack_state(t, ss, f_t, f_tt, status)
+    def pack_state(t, ss, f_t, f_tt, status, crawl):
+        return jnp.stack(
+            [t, ss, f_t, f_tt, status.astype(jnp.float32), crawl,
+             dx, dy, dz, tfar, zc] + [jnp.zeros((n,))] * 5, axis=-1)
+
+    packed = pack_state(t, ss, f_t, f_tt, status, crawl)
 
     def substage(packed, frac, steps):
         budget = min(n, max(1024, int(n * frac)))
@@ -586,13 +663,15 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
         wlc = jnp.maximum(wl, 0)
         rows = packed[wlc]                               # [budget, 16]
         sub_status = jnp.where(wl >= 0, rows[:, 4], 2.0).astype(jnp.int32)
-        sub = (rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3], sub_status)
-        s_t, s_ss, s_ft, s_ftt, s_status = stage(
-            sub, rows[:, 5], rows[:, 6], rows[:, 7], rows[:, 8], steps)
+        sub = (rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3], sub_status,
+               rows[:, 5])
+        s_t, s_ss, s_ft, s_ftt, s_status, s_crawl = stage(
+            sub, rows[:, 6], rows[:, 7], rows[:, 8], rows[:, 9],
+            None if zcos is None else rows[:, 10], steps)
         new_rows = jnp.concatenate(
             [jnp.stack([s_t, s_ss, s_ft, s_ftt,
-                        s_status.astype(jnp.float32)], axis=-1),
-             rows[:, 5:]], axis=-1)
+                        s_status.astype(jnp.float32), s_crawl], axis=-1),
+             rows[:, 6:]], axis=-1)
         return packed.at[jnp.where(wl >= 0, wl, n)].set(new_rows,
                                                         mode="drop")
 
@@ -626,9 +705,10 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
             sub_status = jnp.where(wl >= 0, rows[:, 4],
                                    2.0).astype(jnp.int32)
             sub = (rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3],
-                   sub_status)
-            body = make_body(rows[:, 5], rows[:, 6], rows[:, 7],
-                             rows[:, 8])
+                   sub_status, rows[:, 5])
+            body = make_body(rows[:, 6], rows[:, 7], rows[:, 8],
+                             rows[:, 9],
+                             None if zcos is None else rows[:, 10])
             # single-body bounded while_loop: ONE probe body to compile
             # (an unrolled or chunk-unrolled tail ballooned XLA compile
             # time); per-step rolled-gather penalty (~3.4x) applies only
@@ -639,8 +719,8 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
                 (jnp.int32(0), sub))[1]
             new_rows = jnp.concatenate(
                 [jnp.stack([out[0], out[1], out[2], out[3],
-                            out[4].astype(jnp.float32)], axis=-1),
-                 rows[:, 5:]], axis=-1)
+                            out[4].astype(jnp.float32), out[5]], axis=-1),
+                 rows[:, 6:]], axis=-1)
             return packed.at[jnp.where(wl >= 0, wl, n)].set(new_rows,
                                                             mode="drop")
 
@@ -717,11 +797,13 @@ def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
     dxi, dyi, dzi = ray_directions_c(view, w, h)
     dx, dy, dz = dxi.reshape(-1), dyi.reshape(-1), dzi.reshape(-1)
     origin = view[:3, 3]
+    zcos = (camera_zcos(view, dx, dy, dz)
+            if field.name == "ofusion" else None)
 
     (vx, vy, vz, nx, ny, nz, hit, ok, overflow) = raycast_rays(
         geom, field, origin, dx, dy, dz, mu, state=state,
         max_steps=max_steps, near=near, far=far, prime_t=prime_t,
-        pool_bucket=pool_bucket)
+        pool_bucket=pool_bucket, zcos=zcos)
 
     vertex = jnp.stack([jnp.where(hit, vx, 0.0),
                         jnp.where(hit, vy, 0.0),
@@ -734,12 +816,18 @@ def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
 
 def raycast_rays(geom, field, origin, dx, dy, dz, mu, state=None,
                  nav=None, strips=None, max_steps=None, near=NEAR_PLANE,
-                 far=FAR_PLANE, prime_t=None, pool_bucket=None):
+                 far=FAR_PLANE, prime_t=None, pool_bucket=None,
+                 zcos=None):
     """Ray-level raycast core over flat direction arrays: march + Newton
     refinement + gradient normals. Either ``state`` or prebuilt
     (``nav``, ``strips``) must be given — the sharded pipeline passes the
     halo-exchanged tables here (parallel/dist_step.py) while the
     single-chip path builds them from the local map.
+
+    ``zcos`` (optional, [n]): per-ray camera-axis cosine from
+    :func:`camera_zcos`; enables the OFusion multi-voxel band stepping
+    (see :func:`_march`). Omitted (e.g. free-ray tests), the occupancy
+    march keeps the reference's exact 1-voxel known-space step.
 
     Returns (vx, vy, vz, nx, ny, nz, hit, ok, overflow) flat arrays.
     """
@@ -752,7 +840,7 @@ def raycast_rays(geom, field, origin, dx, dy, dz, mu, state=None,
     t1, t_cross, ss, hit, overflow, nav4, strips = _march(
         geom, state, field, origin, dx, dy, dz, tnear, tfar, mu, step,
         largestep, max_steps, nav=nav, strips=strips, prime_t=prime_t,
-        pool_bucket=pool_bucket)
+        pool_bucket=pool_bucket, zcos=zcos)
 
     # Newton refinement + normal from ONE trilinear fetch set: value and
     # cell gradient at the bracket estimate; step along the ray to the

@@ -387,10 +387,15 @@ def make_dist_step(mesh: Mesh, geom: MapGeometry, field, *, frame_size,
             prime = jax.lax.dynamic_slice_in_dim(prime, x0, w_loc, 1) \
                 .reshape(-1)
 
+            # same zcos helper on the same view matrix as the single-
+            # chip path (raycast.raycast) — OF band stepping must march
+            # identically or dist/single parity breaks (CLAUDE.md rule)
+            zcos = (raycast.camera_zcos(view, dx, dy, dz)
+                    if field.name == "ofusion" else None)
             (vx, vy, vz, nx, ny, nz, hit, ok, overflow) = \
                 raycast.raycast_rays(geom, field, origin, dx, dy, dz, mu,
                                      nav=nav, strips=halo_strips,
-                                     prime_t=prime)
+                                     prime_t=prime, zcos=zcos)
             vertex = jnp.stack([jnp.where(hit, vx, 0.0),
                                 jnp.where(hit, vy, 0.0),
                                 jnp.where(hit, vz, 0.0)],

@@ -137,10 +137,11 @@ def main():
     dx, dy, dz = dxi.reshape(-1), dyi.reshape(-1), dzi.reshape(-1)
     origin = view[:3, 3]
     tnear, tfar = raycast.ray_box_range_c(origin, dx, dy, dz, geom.dim)
+    zc = raycast.camera_zcos(view, dx, dy, dz)
     mar = jax.jit(lambda o, a, b, c, tn, tf, nv_, st_, pt: raycast._march(
         geom, m_state, field, o, a, b, c, tn, tf, mu, geom.voxel_size,
         geom.voxel_size * 8, 2 * geom.size, nav=nv_, strips=st_,
-        prime_t=pt))
+        prime_t=pt, zcos=zc))
     if want("mar"):
         print(f"  march (primed)     "
               f"{timed(mar, origin, dx, dy, dz, tnear, tfar, nav, strips, prime, tag='mar'):8.2f} ms",
