@@ -72,6 +72,12 @@ def main(argv=None):
     parser.add_argument("--dump-renders", type=str, default="",
                         help="directory for 2x2 composite snapshots at "
                              "every render (viewer.composite_views)")
+    parser.add_argument("--serve", type=int, default=0, metavar="PORT",
+                        help="serve a live interactive view on this HTTP "
+                             "port: MJPEG stream of the 2x2 composite + "
+                             "pause/resume/reset/view-toggle controls "
+                             "(the pod equivalent of the reference Qt "
+                             "GUI, QtGUI.cpp:84-258 / mainQt.cpp:201-313)")
     parser.add_argument("--keyframe-rate", type=int, default=0,
                         help="enable windowed pose-graph BA: a keyframe "
                              "every N frames (0 = off)")
@@ -124,6 +130,13 @@ def main(argv=None):
         pipe.enable_keyframes(every=args.keyframe_rate,
                               window=args.ba_window,
                               ba_every=args.ba_every)
+    live = None
+    static_view_pose = None
+    if args.serve:
+        from supereight_tpu.webviewer import LiveViewer
+        live = LiveViewer(args.serve)
+        port = live.start()
+        print(f"# live view: http://localhost:{port}/", file=sys.stderr)
     stats = PerfStats()
     out = sys.stdout
     log = open(cfg.log_file, "w") if cfg.log_file else out
@@ -136,6 +149,21 @@ def main(argv=None):
     while True:
         if args.max_frames is not None and frame >= args.max_frames:
             break
+        if live is not None:
+            # frame-pump controls (ref mainQt.cpp qtIdle loop + QtGUI
+            # reset/pause): pause blocks acquisition; reset rebuilds the
+            # pipeline (newDenseSLAMSystem, QtGUI.cpp:84) keeping the
+            # input stream position
+            while live.paused and not live.reset_pending:
+                time.sleep(0.05)
+            if live.take_reset():
+                pipe = DenseSLAMSystem(input_size, cfg,
+                                       init_pose=init_pose)
+                if args.keyframe_rate:
+                    pipe.enable_keyframes(every=args.keyframe_rate,
+                                          window=args.ba_window,
+                                          ba_every=args.ba_every)
+                static_view_pose = None
         t0 = time.perf_counter()
         if frames is not None:
             if frame >= len(frames):
@@ -174,9 +202,29 @@ def main(argv=None):
         # mainQt.cpp:201-313; timed into the `rendering` log column)
         if cfg.rendering_rate > 0 and frame % cfg.rendering_rate == 0 \
                 and frame > 2:
+            # model/camera view toggle (ref QtGUI setCameraView): static
+            # mode pins the volume render to the pose captured at the
+            # moment of the switch
+            if live is not None and live.view_mode == "static":
+                if static_view_pose is None:
+                    static_view_pose = np.asarray(pipe.raycast_pose)
+                vol = pipe.render_volume(view_pose=static_view_pose)
+            else:
+                static_view_pose = None
+                vol = pipe.render_volume()
             views = {"depth": pipe.render_depth(),
                      "track": pipe.render_track(),
-                     "volume": pipe.render_volume()}
+                     "volume": vol}
+            if live is not None:
+                from supereight_tpu import viewer as _viewer
+                live.push(
+                    _viewer.composite_views(views["depth"], views["track"],
+                                            views["volume"]),
+                    stats={"frame": frame,
+                           "tracked": int(tracked),
+                           "blocks": int(pipe.map.n_blocks),
+                           **{kk: float(v)
+                              for kk, v in pipe.stats.items()}})
             if args.dump_renders:
                 import os
                 from supereight_tpu import viewer

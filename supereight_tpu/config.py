@@ -28,7 +28,9 @@ class Configuration:
     pyramid: Tuple[int, ...] = (10, 5, 4)
     mu: float = 0.1
     icp_threshold: float = 1e-5
-    filter_input: bool = False    # bilateral filter on/off (-F in reference)
+    # input filter: False/"" = none, True/"bilateral" = the reference's
+    # -F 5x5 bilateral, "median" = 3x3 median (noise-grade option)
+    filter_input: object = False
 
     # camera intrinsics fx, fy, cx, cy; None = guess from image size
     camera: Optional[Tuple[float, float, float, float]] = None
@@ -41,6 +43,10 @@ class Configuration:
     # bfusion/mapping_impl.hpp:41-92, but its update functors read
     # depth[int(pixel)] — nearest is the parity default)
     depth_interp: bool = False
+
+    # sigma(z)-scaled TSDF fusion weights (fields/tsdf.update
+    # noise_weighted; off = reference's constant-1 weights)
+    noise_weighted: bool = False
 
     # io
     input_file: str = ""
@@ -84,6 +90,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-l", "--icp-threshold", type=float, default=1e-5)
     p.add_argument("-k", "--camera", type=str, default="")
     p.add_argument("-F", "--bilateral-filter", action="store_true")
+    p.add_argument("--filter", choices=["none", "bilateral", "median"],
+                   default="",
+                   help="input depth filter (--filter median is the "
+                        "noise-grade option; -F = bilateral)")
+    p.add_argument("--noise-weighted", action="store_true",
+                   help="sigma(z)-scaled TSDF fusion weights for noisy "
+                        "range sensors (deviation from the reference's "
+                        "constant weights)")
     p.add_argument("-f", "--field", type=str, default="tsdf",
                    choices=["tsdf", "ofusion"])
     p.add_argument("-i", "--input-file", type=str, default="")
@@ -118,7 +132,9 @@ def config_from_args(args) -> Configuration:
         pyramid=tuple(int(x) for x in args.pyramid_levels.split(",")),
         mu=args.mu,
         icp_threshold=args.icp_threshold,
-        filter_input=args.bilateral_filter,
+        filter_input=(args.filter if args.filter and args.filter != "none"
+                      else args.bilateral_filter),
+        noise_weighted=args.noise_weighted,
         camera=cam,
         field=args.field,
         depth_interp=args.depth_interp,

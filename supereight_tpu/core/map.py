@@ -271,7 +271,8 @@ ALLOC_BUDGET = 8192
 
 
 def allocate_blocks(geom: MapGeometry, state: MapState,
-                    touched: jnp.ndarray, with_stats: bool = False):
+                    touched: jnp.ndarray, with_stats: bool = False,
+                    budget: int = None):
     """Allocate every block whose bit is set in the dense [B,B,B] mask.
 
     The reference funnels per-pixel candidate keys through an atomic list,
@@ -289,7 +290,12 @@ def allocate_blocks(geom: MapGeometry, state: MapState,
     b = geom.blocks_per_side
     cap = geom.capacity
     n_cells = b * b * b
-    kb = min(n_cells, ALLOC_BUDGET)
+    # ``budget`` (static) overrides ALLOC_BUDGET: noisy depth inflates
+    # the per-frame touched set (band centers jitter by sigma(z) every
+    # frame), and the reference allocates ALL candidates
+    # (octree.hpp:792-817) — callers watching alloc_overflow grow the
+    # bucket (one recompile per doubling, like integration_budget).
+    kb = min(n_cells, ALLOC_BUDGET if budget is None else budget)
     flat_new = (touched & (state.slot < 0)).reshape(-1)
     g = jnp.arange(n_cells, dtype=jnp.int32)
 

@@ -194,7 +194,7 @@ def ofusion_touched_masks(geom, depth, pose, k, mu: float,
 
 
 def allocate_tsdf(geom, state, depth, pose, k, mu: float,
-                  with_stats: bool = False, when=None):
+                  with_stats: bool = False, when=None, budget: int = None):
     """Full TSDF allocation step: band march -> block pool update.
 
     ``when`` (optional traced bool scalar) masks the whole allocation —
@@ -205,17 +205,20 @@ def allocate_tsdf(geom, state, depth, pose, k, mu: float,
     touched = tsdf_touched_mask(geom, depth, pose, k, mu)
     if when is not None:
         touched = touched & when
-    return m.allocate_blocks(geom, state, touched, with_stats=with_stats)
+    return m.allocate_blocks(geom, state, touched, with_stats=with_stats,
+                             budget=budget)
 
 
 def allocate_ofusion(geom, state, depth, pose, k, mu: float,
-                     with_stats: bool = False, when=None):
+                     with_stats: bool = False, when=None,
+                     budget: int = None):
     """Full occupancy allocation step: multi-scale march -> pool + mips."""
     touched, extra = ofusion_touched_masks(geom, depth, pose, k, mu)
     if when is not None:
         touched = touched & when
         extra = tuple(e & when if e is not None else None for e in extra)
-    out = m.allocate_blocks(geom, state, touched, with_stats=with_stats)
+    out = m.allocate_blocks(geom, state, touched, with_stats=with_stats,
+                            budget=budget)
     state, stats = out if with_stats else (out, None)
     state = m.refresh_mip_alloc(geom, state, state.slot >= 0,
                                 extra_levels=extra)

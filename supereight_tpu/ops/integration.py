@@ -271,20 +271,22 @@ def _sample_depth_bilinear(depth, px, py):
 
 
 def _field_update(field, old_x, old_y, pos_cam, depth_sample, valid, *,
-                  mu, timestamp, voxel_size):
+                  mu, timestamp, voxel_size, noise_weighted=False):
     if field.name == "tsdf":
         return tsdf_field.update(old_x, old_y, pos_cam, depth_sample, mu,
-                                 valid)
+                                 valid, noise_weighted=noise_weighted)
     return ofusion_field.update(old_x, old_y, pos_cam, depth_sample, mu,
                                 timestamp, voxel_size, valid)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("geom", "field", "frame_size", "budget",
-                                    "depth_interp", "with_stats"))
+                                    "depth_interp", "with_stats",
+                                    "noise_weighted"))
 def integrate(geom, state, field, depth, pose, k, mu, timestamp,
               frame_size, budget: int = 8192, depth_interp: bool = False,
-              with_stats: bool = False, when=None):
+              with_stats: bool = False, when=None,
+              noise_weighted: bool = False):
     """One fusion pass: block update + node (mip) update
     (ref projective_functor::apply, projective_functor.hpp:139-156).
 
@@ -358,7 +360,8 @@ def integrate(geom, state, field, depth, pose, k, mu, timestamp,
     new_x, new_y, _ = _field_update(field, old_x, old_y, (cx, cy, cz),
                                     depth_sample, valid, mu=mu,
                                     timestamp=timestamp,
-                                    voxel_size=geom.voxel_size)
+                                    voxel_size=geom.voxel_size,
+                                    noise_weighted=noise_weighted)
     wl_or_drop = jnp.where(present, wl, cap)
     data_x = state.data_x.at[wl_or_drop].set(new_x, mode="drop")
     data_y = state.data_y.at[wl_or_drop].set(new_y, mode="drop")

@@ -417,16 +417,16 @@ _CASCADE_PRIMED_TSDF = ((2, 1.0), (4, 0.50), (6, 0.15), (16, 1.0 / 24.0),
                         (36, 1.0 / 64.0))
 _CASCADE_COLD_TSDF = ((6, 1.0), (6, 0.70), (12, 0.36), (12, 0.12),
                       (28, 1.0 / 32.0))
-# OF live rays decay slowly even primed: the tight backoff often lands
-# inside the bspline's positive band (sigma ~ 2 voxels), falling back
-# to the 7-voxel backoff, and the in-band march is 1-voxel steps — so
-# unlike TSDF the budgets here must stay WIDE (tighter r4 variants cut
-# probes 50% but dropped ~0.6% of rays into overflow; width, not step
-# depth, was the binding constraint). Modest trim of the r3 shape; a
-# real OF march redesign (multi-voxel band stepping against the
-# quantized coarse payload) is the open item.
-_CASCADE_PRIMED_OF = ((4, 1.0), (10, 1.0 / 2.0), (24, 1.0 / 8.0),
-                      (40, 1.0 / 24.0))
+# r5 sigma-band stepping (see _march) collapsed the primed OF decay:
+# measured on the warm bench scene (tools/march_live_r5.py) 38% live
+# after 4 steps, 4.9% after 6, 2.5% after 8, 1.0% after 20, 0 by 59 —
+# vs the r4 1-voxel crawl's ~50% at 14. Budgets sized 1.3-3x over the
+# measured decay (cost 8.35 full-width step equivalents, was 13.67);
+# the 4096-ray cond-skipped tail still backstops unfamiliar scenes.
+_CASCADE_PRIMED_OF = ((4, 1.0), (4, 1.0 / 2.0), (16, 1.0 / 12.0),
+                      (36, 1.0 / 32.0))
+# cold decay stays slow (no priming: 42% at 16, 9.7% at 32, 1.7% at
+# 64) — budgets unchanged, still 1.2-2.5x over the r5 measurement.
 _CASCADE_COLD_OF = ((16, 1.0), (16, 1.0 / 2.0), (32, 1.0 / 8.0),
                     (48, 1.0 / 24.0))
 

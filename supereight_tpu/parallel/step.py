@@ -72,7 +72,8 @@ def integration_budget(geom, n_blocks: int) -> int:
     static_argnames=("geom", "field", "frame_size", "iterations",
                      "mu", "icp_threshold", "neg_y", "filter_input",
                      "use_gt_pose", "integration_rate", "tracking_rate",
-                     "budget", "depth_interp"),
+                     "budget", "depth_interp", "alloc_budget",
+                     "noise_weighted"),
     # the 150+ MB map pool updates in place instead of copy-on-write
     # (callers consume the state exactly once per frame)
     donate_argnames=_DONATE)
@@ -82,7 +83,8 @@ def frame_step(geom, field, state: FrameState, depth_m, k, frame,
                mu, icp_threshold,
                neg_y, filter_input, use_gt_pose=False,
                integration_rate=2, tracking_rate=1,
-               budget=8192, depth_interp=False):
+               budget=8192, depth_interp=False, alloc_budget=None,
+               noise_weighted=False):
     """Run one full frame; returns (new_state, aux dict of device arrays).
 
     ``frame`` is a traced int32 scalar so one compiled program serves the
@@ -125,16 +127,16 @@ def frame_step(geom, field, state: FrameState, depth_m, k, frame,
     if field.multiscale_alloc:
         m2, astats = allocation.allocate_ofusion(
             geom, state.map, depths[0], pose, k, mu, with_stats=True,
-            when=do_integrate)
+            when=do_integrate, budget=alloc_budget)
     else:
         m2, astats = allocation.allocate_tsdf(
             geom, state.map, depths[0], pose, k, mu, with_stats=True,
-            when=do_integrate)
+            when=do_integrate, budget=alloc_budget)
     new_map, istats = integration.integrate(
         geom, m2, field, depth_m, pose, k, mu,
         (1.0 / 30.0) * frame.astype(jnp.float32), frame_size,
         budget=budget, depth_interp=depth_interp, with_stats=True,
-        when=do_integrate)
+        when=do_integrate, noise_weighted=noise_weighted)
     alloc_overflow = astats["alloc_overflow"]
     blocks_truncated = istats["blocks_truncated"]
 

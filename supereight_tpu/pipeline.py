@@ -25,11 +25,17 @@ from supereight_tpu.ops import allocation, integration, preprocess, raycast, \
 
 @functools.partial(jax.jit, static_argnames=("levels", "neg_y", "filter_input"))
 def _preprocess_and_pyramid(depth_m, k, levels: int, neg_y: bool,
-                            filter_input: bool):
+                            filter_input):
     """Filter + build the depth/vertex/normal pyramid
     (ref DenseSLAMSystem::preprocessing + tracking's pyramid prep,
-    DenseSLAMSystem.cpp:128-164)."""
-    if filter_input:
+    DenseSLAMSystem.cpp:128-164).
+
+    ``filter_input``: False = none, True/"bilateral" = the reference's
+    5x5 bilateral (-F), "median" = 3x3 median (the noise-grade option,
+    preprocess.median_filter3)."""
+    if filter_input == "median":
+        d0 = preprocess.median_filter3(depth_m)
+    elif filter_input:
         d0 = preprocess.bilateral_filter(depth_m)
     else:
         d0 = depth_m
@@ -88,6 +94,9 @@ class DenseSLAMSystem:
 
         self._iterations = tuple(config.pyramid)
         self._neg_y = float(self.k[1]) < 0
+        # self-sizing per-frame allocation bucket (see integration())
+        from supereight_tpu.core.map import ALLOC_BUDGET
+        self._alloc_budget = ALLOC_BUDGET
         # drop-accounting counters from the latest frame (device scalars;
         # all zero in a well-sized run — see frame_step docstring)
         self.stats = {}
@@ -150,17 +159,27 @@ class DenseSLAMSystem:
         if self.field.multiscale_alloc:
             self.map, astats = allocation.allocate_ofusion(
                 self.geom, self.map, depths[0], self.pose, self.k,
-                self.config.mu, with_stats=True)
+                self.config.mu, with_stats=True,
+                budget=self._alloc_budget)
         else:
             self.map, astats = allocation.allocate_tsdf(
                 self.geom, self.map, depths[0], self.pose, self.k,
-                self.config.mu, with_stats=True)
+                self.config.mu, with_stats=True,
+                budget=self._alloc_budget)
+        # self-sizing allocation bucket (the reference allocates ALL
+        # candidate octants, octree.hpp:792-817): an overflowing frame
+        # doubles the bucket for subsequent frames — one recompile per
+        # doubling; the overflowed cells are re-touched next frame
+        if int(astats["alloc_overflow"]) > 0:
+            b = self.geom.blocks_per_side
+            self._alloc_budget = min(2 * self._alloc_budget, b ** 3)
         timestamp = (1.0 / 30.0) * frame
         self.map, istats = integration.integrate(
             self.geom, self.map, self.field, self.float_depth, self.pose,
             self.k, self.config.mu, timestamp, self.computation_size,
             self._budget_bucket(), depth_interp=self.config.depth_interp,
-            with_stats=True)
+            with_stats=True,
+            noise_weighted=self.config.noise_weighted)
         self.stats = dict(self.stats, alloc_overflow=astats["alloc_overflow"],
                           blocks_truncated=istats["blocks_truncated"],
                           patch_skipped=istats.get("patch_skipped", 0),

@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--iterations", default="10,5,4")
     ap.add_argument("--icp-threshold", type=float, default=1e-5)
     ap.add_argument("--noise", type=float, default=0.0)
+    ap.add_argument("--filter", default="",
+                    help="input filter: bilateral | median")
+    ap.add_argument("--noise-weighted", action="store_true")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--platform", default="")
     args = ap.parse_args()
@@ -60,6 +63,8 @@ def main():
     state = pstep.init_frame_state(geom, field, (W, H), poses[0])
     kj = jnp.asarray(k, jnp.float32)
     budget = 8192
+    alloc_budget = 8192
+    filt = args.filter if args.filter else False
     t0 = time.perf_counter()
     errs, est = [], []
     tracked_n = 0
@@ -73,8 +78,9 @@ def main():
             pstep.frame_step, geom, field, frame_size=(W, H),
             iterations=iters, mu=args.mu,
             icp_threshold=args.icp_threshold, neg_y=False,
-            filter_input=False, use_gt_pose=False, integration_rate=1,
-            tracking_rate=1, budget=budget)
+            filter_input=filt, use_gt_pose=False, integration_rate=1,
+            tracking_rate=1, budget=budget, alloc_budget=alloc_budget,
+            noise_weighted=args.noise_weighted)
         state, aux = fn(state, jnp.asarray(depths[i]), kj, jnp.int32(i))
         P = np.asarray(state.pose)
         est.append(P[:3, 3])
@@ -83,6 +89,10 @@ def main():
         tracked_n += int(aux["tracked"])
         for key in drops:
             drops[key] += int(aux.get(key, 0))
+        # self-sizing allocation bucket (mirrors pipeline.integration)
+        if int(aux.get("alloc_overflow", 0)) > 0:
+            alloc_budget = min(2 * alloc_budget,
+                               geom.blocks_per_side ** 3)
         if i % 10 == 0 or i == args.frames - 1:
             print(f"  f{i:4d} err={err:.4f} m blocks={nb}",
                   file=sys.stderr)

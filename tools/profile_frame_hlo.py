@@ -26,7 +26,7 @@ def main():
 
     W, H = 320, 240
     geom = MapGeometry(size=512, dim=4.8, capacity=36864)
-    field = get_field("tsdf")
+    field = get_field(os.environ.get("SE_FIELD", "tsdf"))
     k = (240.6, 240.0, 160.0, 120.0)
     depths, poses = synthetic.orbit_sequence(
         10, k, width=W, height=H, radius=1.44, center=(2.4,) * 3,
@@ -35,7 +35,8 @@ def main():
     fn = functools.partial(
         pstep.frame_step, geom, field,
         frame_size=(W, H), iterations=(10, 5, 4),
-        mu=0.1, icp_threshold=1e-5, neg_y=False, filter_input=False,
+        mu=0.1 if field.name == "tsdf" else 0.008,
+        icp_threshold=1e-5, neg_y=False, filter_input=False,
         use_gt_pose=False, integration_rate=1, tracking_rate=1,
         budget=pstep.integration_budget(geom, 8192))
     state = pstep.init_frame_state(geom, field, (W, H), poses[0])
@@ -81,7 +82,8 @@ def main():
     # lower via its own .lower
     low = pstep.frame_step.lower(
         geom, field, state, jnp.asarray(depths[9]), kj, jnp.int32(9),
-        None, frame_size=(W, H), iterations=(10, 5, 4), mu=0.1,
+        None, frame_size=(W, H), iterations=(10, 5, 4),
+        mu=0.1 if field.name == "tsdf" else 0.008,
         icp_threshold=1e-5, neg_y=False, filter_input=False,
         use_gt_pose=False, integration_rate=1, tracking_rate=1,
         budget=pstep.integration_budget(geom, 8192), depth_interp=False)
