@@ -72,6 +72,15 @@ def main(argv=None):
     parser.add_argument("--dump-renders", type=str, default="",
                         help="directory for 2x2 composite snapshots at "
                              "every render (viewer.composite_views)")
+    parser.add_argument("--no-stage-sync", action="store_true",
+                        help="skip the per-stage device syncs: stages "
+                             "dispatch asynchronously and ONE batched "
+                             "transfer ends the frame, so the per-stage "
+                             "log columns show dispatch (not device) "
+                             "time but wall fps stops being bound by "
+                             "remote-runtime round trips (~12 RTTs/frame "
+                             "otherwise); `computation`/`total` and ATE "
+                             "stay correct")
     parser.add_argument("--serve", type=int, default=0, metavar="PORT",
                         help="serve a live interactive view on this HTTP "
                              "port: MJPEG stream of the 2x2 composite + "
@@ -175,8 +184,10 @@ def main(argv=None):
                 break
         t_acq = time.perf_counter()
 
+        sync = not args.no_stage_sync
         pipe.preprocessing(depth, is_mm=is_mm)
-        np.asarray(pipe.float_depth)  # sync
+        if sync:
+            np.asarray(pipe.float_depth)  # sync
         t_pre = time.perf_counter()
 
         if args.groundtruth_mode and gt_poses is not None \
@@ -185,16 +196,19 @@ def main(argv=None):
             tracked = True
         else:
             tracked = pipe.tracking(frame)
-        np.asarray(pipe.pose)
+        if sync:
+            np.asarray(pipe.pose)
         t_track = time.perf_counter()
 
         integrated = pipe.integration(frame) if (tracked or frame <= 3) \
             else False
-        int(pipe.map.n_blocks)
+        if sync:
+            int(pipe.map.n_blocks)
         t_int = time.perf_counter()
 
         pipe.raycasting(frame)
-        np.asarray(pipe.valid)
+        if sync:
+            np.asarray(pipe.valid)
         t_ray = time.perf_counter()
 
         # render views every rendering_rate frames (ref benchmark.cpp's
@@ -235,10 +249,16 @@ def main(argv=None):
                         views["depth"], views["track"], views["volume"]))
         t_render = time.perf_counter()
 
-        for name, v in pipe.stats.items():
+        # ONE batched device transfer for the frame's scalars (pose +
+        # drop counters): fetching each separately costs a remote-
+        # runtime round trip apiece (~12 RTTs/frame dominated the wall
+        # clock on the tunneled TPU)
+        import jax as _jax
+        pose_np, stat_np = _jax.device_get((pipe.pose, dict(pipe.stats)))
+        for name, v in stat_np.items():
             stats.sample(name, float(v), StatType.COUNT)
 
-        pos = pipe.get_position()
+        pos = pose_np[:3, 3]
         row = (f"{frame}\t{t_acq - t0:.6f}\t{t_pre - t_acq:.6f}\t"
                f"{t_track - t_pre:.6f}\t{t_int - t_track:.6f}\t"
                f"{t_ray - t_int:.6f}\t{t_render - t_ray:.6f}\t"
@@ -265,7 +285,7 @@ def main(argv=None):
 
         # BA corrections (identity when keyframes are off) apply to the
         # published trajectory
-        P = pipe.trajectory_correction @ pipe.get_pose()
+        P = pipe.trajectory_correction @ pose_np
         q = rotation_to_quaternion(P[:3, :3])
         est_traj.append((frame / 30.0, *P[:3, 3], *q))
         frame += 1

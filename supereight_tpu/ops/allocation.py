@@ -29,7 +29,7 @@ def _pixel_rays_c(depth, pose, k):
     return _pixel_rays_c_sub(depth, pose, k, 1)
 
 
-def _pixel_rays_c_sub(depth, pose, k, stride: int):
+def _pixel_rays_c_sub(depth, pose, k, stride: int, x_offset=0):
     """World-space surface points and ray directions toward the camera.
 
     Mirrors the shared preamble of both allocators: worldVertex =
@@ -41,7 +41,11 @@ def _pixel_rays_c_sub(depth, pose, k, stride: int):
     h, w = depth.shape
     inv_k = se3.inverse_camera_matrix(k)
     kpose = jnp.matmul(pose, inv_k, precision=jax.lax.Precision.HIGHEST)
-    xs = jnp.arange(w, dtype=jnp.float32) * stride + 0.5
+    # ``x_offset`` (full-image pixels, may be traced): ``depth`` is a
+    # column slice starting there — the sharded allocation march
+    # (parallel/dist_step.py) marches only the device's own columns
+    xs = (jnp.arange(w, dtype=jnp.float32) * stride + 0.5
+          + jnp.asarray(x_offset, jnp.float32))
     ys = jnp.arange(h, dtype=jnp.float32) * stride + 0.5
     px, py = jnp.meshgrid(xs, ys, indexing="xy")
     wvx, wvy, wvz = se3.transform_c(kpose, px * depth, py * depth, depth)
@@ -68,7 +72,7 @@ def _touched_cell_ids(geom, lvl, x, y, z, valid):
     return jnp.where(inb, flat, side * side * side)
 
 
-def tsdf_touched_mask(geom, depth, pose, k, mu: float):
+def tsdf_touched_mask(geom, depth, pose, k, mu: float, x_offset=0):
     """Blocks intersected by the +/- 2*mu band around each depth sample
     (ref buildAllocationList, kfusion/alloc_impl.hpp:53-118).
 
@@ -85,7 +89,8 @@ def tsdf_touched_mask(geom, depth, pose, k, mu: float):
     band = 2.0 * mu
     num_steps = int(math.ceil(band * geom.inv_voxel_size / 3.0))
     depth = depth[::2, ::2]
-    (wvx, wvy, wvz), (dx, dy, dz), _ = _pixel_rays_c_sub(depth, pose, k, 2)
+    (wvx, wvy, wvz), (dx, dy, dz), _ = _pixel_rays_c_sub(depth, pose, k, 2,
+                                                         x_offset)
     ox = wvx - (band * 0.5) * dx
     oy = wvy - (band * 0.5) * dy
     oz = wvz - (band * 0.5) * dz
@@ -141,7 +146,7 @@ def ofusion_step_ladder(geom, band: float, max_dist: float):
 
 
 def ofusion_touched_masks(geom, depth, pose, k, mu: float,
-                          max_dist: float = None):
+                          max_dist: float = None, x_offset=0):
     """Per-level touched masks for occupancy allocation
     (ref buildOctantList, bfusion/alloc_impl.hpp:53-129).
 
@@ -157,7 +162,7 @@ def ofusion_touched_masks(geom, depth, pose, k, mu: float,
 
     depth = depth[::2, ::2]     # 2x2 pixel subsample (see tsdf_touched_mask)
     (wvx, wvy, wvz), (dx, dy, dz), camera = _pixel_rays_c_sub(depth, pose,
-                                                              k, 2)
+                                                              k, 2, x_offset)
     ox = wvx - (band * 0.5) * dx
     oy = wvy - (band * 0.5) * dy
     oz = wvz - (band * 0.5) * dz

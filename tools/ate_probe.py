@@ -32,6 +32,13 @@ def main():
     ap.add_argument("--filter", default="",
                     help="input filter: bilateral | median")
     ap.add_argument("--noise-weighted", action="store_true")
+    ap.add_argument("--budget", type=int, default=0,
+                    help="fixed integration budget (0 = adaptive "
+                         "doubling; fixed avoids mid-run recompiles on "
+                         "the remote TPU, ~60 s each)")
+    ap.add_argument("--alloc-budget", type=int, default=0,
+                    help="fixed allocation budget (0 = adaptive)")
+    ap.add_argument("--capacity", type=int, default=36864)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--platform", default="")
     args = ap.parse_args()
@@ -49,7 +56,7 @@ def main():
 
     W, H = 320, 240
     DIM = 4.8
-    geom = MapGeometry(size=args.size, dim=DIM, capacity=36864)
+    geom = MapGeometry(size=args.size, dim=DIM, capacity=args.capacity)
     field = get_field(args.field)
     k = (240.6, 240.0, 160.0, 120.0)
     iters = tuple(int(x) for x in args.iterations.split(","))
@@ -62,8 +69,8 @@ def main():
 
     state = pstep.init_frame_state(geom, field, (W, H), poses[0])
     kj = jnp.asarray(k, jnp.float32)
-    budget = 8192
-    alloc_budget = 8192
+    budget = args.budget or 8192
+    alloc_budget = args.alloc_budget or 8192
     filt = args.filter if args.filter else False
     t0 = time.perf_counter()
     errs, est = [], []
@@ -71,9 +78,10 @@ def main():
     drops = {"alloc_overflow": 0, "blocks_truncated": 0,
              "patch_skipped": 0, "ray_overflow": 0,
              "pool_bucket_overflow": 0}
+    nb = 0
     for i in range(args.frames):
-        nb = int(state.map.n_blocks)
-        budget = max(budget, pstep.integration_budget(geom, nb + 2048))
+        if not args.budget:
+            budget = max(budget, pstep.integration_budget(geom, nb + 2048))
         fn = functools.partial(
             pstep.frame_step, geom, field, frame_size=(W, H),
             iterations=iters, mu=args.mu,
@@ -82,7 +90,11 @@ def main():
             tracking_rate=1, budget=budget, alloc_budget=alloc_budget,
             noise_weighted=args.noise_weighted)
         state, aux = fn(state, jnp.asarray(depths[i]), kj, jnp.int32(i))
-        P = np.asarray(state.pose)
+        # ONE host transfer per frame: every scalar fetched separately
+        # costs a remote-runtime round trip (~0.5 s/frame of pure RTT
+        # measured in r5 — the probe was 4.8 s/frame host-bound)
+        P, aux = jax.device_get((state.pose, aux))
+        nb = int(aux["n_blocks"])
         est.append(P[:3, 3])
         err = np.linalg.norm(P[:3, 3] - poses[i][:3, 3])
         errs.append(err)
@@ -90,7 +102,7 @@ def main():
         for key in drops:
             drops[key] += int(aux.get(key, 0))
         # self-sizing allocation bucket (mirrors pipeline.integration)
-        if int(aux.get("alloc_overflow", 0)) > 0:
+        if not args.alloc_budget and int(aux.get("alloc_overflow", 0)) > 0:
             alloc_budget = min(2 * alloc_budget,
                                geom.blocks_per_side ** 3)
         if i % 10 == 0 or i == args.frames - 1:

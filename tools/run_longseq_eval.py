@@ -31,7 +31,7 @@ def run_one(raw, gt, extra, log_file, max_frames):
            "-s", "4.8", "-p", "0.5,0.4583,0.18", "-z", "4", "-c", "2",
            "-r", "1", "-t", "1", "-v", "512",
            "-k", "481.2,480,320,240", "-y", "10,5,4",
-           "--max-frames", str(max_frames)] + extra
+           "--max-frames", str(max_frames), "--no-stage-sync"] + extra
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
     proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
