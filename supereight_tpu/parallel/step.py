@@ -73,7 +73,8 @@ def integration_budget(geom, n_blocks: int) -> int:
                      "mu", "icp_threshold", "neg_y", "filter_input",
                      "use_gt_pose", "integration_rate", "tracking_rate",
                      "budget", "depth_interp", "alloc_budget",
-                     "noise_weighted"),
+                     "noise_weighted", "min_ref_weight",
+                     "fuse_filtered"),
     # the 150+ MB map pool updates in place instead of copy-on-write
     # (callers consume the state exactly once per frame)
     donate_argnames=_DONATE)
@@ -84,7 +85,8 @@ def frame_step(geom, field, state: FrameState, depth_m, k, frame,
                neg_y, filter_input, use_gt_pose=False,
                integration_rate=2, tracking_rate=1,
                budget=8192, depth_interp=False, alloc_budget=None,
-               noise_weighted=False):
+               noise_weighted=False, min_ref_weight=0,
+               fuse_filtered=False):
     """Run one full frame; returns (new_state, aux dict of device arrays).
 
     ``frame`` is a traced int32 scalar so one compiled program serves the
@@ -132,8 +134,20 @@ def frame_step(geom, field, state: FrameState, depth_m, k, frame,
         m2, astats = allocation.allocate_tsdf(
             geom, state.map, depths[0], pose, k, mu, with_stats=True,
             when=do_integrate, budget=alloc_budget)
+    # fuse_filtered (noise-grade option): integrate the FILTERED depth
+    # instead of the raw one. The reference fuses raw (float_depth_,
+    # DenseSLAMSystem.cpp:218-253; its bilateral only feeds tracking),
+    # but with z^2 range noise the projective-TSDF update is BIASED at
+    # grazing incidence: the write gate diff > -mu drops the negative
+    # noise tail while min(1, diff/mu) keeps the positive one, so when
+    # sigma_along_ray ~ mu (sigma stretched 1/sin(incidence) on grazing
+    # surfaces) the fused crossing recedes from the camera each frame —
+    # measured as a runaway vertical slide (0.45 m) on the loop scene's
+    # grazing table top. Filtering cuts sigma ~2.4x (median-of-9), which
+    # collapses the bias cubically.
+    fuse_depth = depths[0] if fuse_filtered else depth_m
     new_map, istats = integration.integrate(
-        geom, m2, field, depth_m, pose, k, mu,
+        geom, m2, field, fuse_depth, pose, k, mu,
         (1.0 / 30.0) * frame.astype(jnp.float32), frame_size,
         budget=budget, depth_interp=depth_interp, with_stats=True,
         when=do_integrate, noise_weighted=noise_weighted)
@@ -153,6 +167,26 @@ def frame_step(geom, field, state: FrameState, depth_m, k, frame,
     r_vertex, r_normal, r_valid, rstats = raycast.raycast(
         geom, new_map, field, view, mu, frame_size,
         prime_t=prime, with_stats=True, pool_bucket=budget)
+
+    if min_ref_weight > 0:
+        # map-maturity gate (noise-grade option, no reference
+        # counterpart): drop reference pixels whose hit voxel has fused
+        # fewer than min_ref_weight observations. Under z^2 sensor
+        # noise, freshly-created map regions carry the noise AND pose
+        # error of the frames that built them; tracking against them is
+        # a positive-feedback loop (measured: deeper ICP convergence
+        # made the noisy-loop drift WORSE, 0.36 -> 0.58 ATE). Mature
+        # regions average the noise away (weight grows 1/frame,
+        # sdf_update running mean), so gating the ICP at weight >= W
+        # keeps the pose anchored to converged geometry.
+        from supereight_tpu.core.map import get_voxel_channel_c
+        iv = geom.inv_voxel_size
+        hvx = jnp.floor(r_vertex[..., 0] * iv).astype(jnp.int32)
+        hvy = jnp.floor(r_vertex[..., 1] * iv).astype(jnp.int32)
+        hvz = jnp.floor(r_vertex[..., 2] * iv).astype(jnp.int32)
+        w_ref = get_voxel_channel_c(geom, new_map, field, hvx, hvy, hvz,
+                                    channel=1, fill=0.0)
+        r_valid = r_valid & (w_ref >= min_ref_weight)
 
     do_raycast = frame > 2
     vertex = jnp.where(do_raycast, r_vertex, state.vertex)

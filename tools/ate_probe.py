@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--alloc-budget", type=int, default=0,
                     help="fixed allocation budget (0 = adaptive)")
     ap.add_argument("--capacity", type=int, default=36864)
+    ap.add_argument("--print-every", type=int, default=10)
+    ap.add_argument("--integration-rate", type=int, default=1)
+    ap.add_argument("--min-ref-weight", type=float, default=0)
+    ap.add_argument("--fuse-filtered", action="store_true")
+    ap.add_argument("--traj-out", default="",
+                    help="save est+gt positions to this .npz")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--platform", default="")
     args = ap.parse_args()
@@ -86,7 +92,10 @@ def main():
             pstep.frame_step, geom, field, frame_size=(W, H),
             iterations=iters, mu=args.mu,
             icp_threshold=args.icp_threshold, neg_y=False,
-            filter_input=filt, use_gt_pose=False, integration_rate=1,
+            filter_input=filt, use_gt_pose=False,
+            integration_rate=args.integration_rate,
+            min_ref_weight=args.min_ref_weight,
+            fuse_filtered=args.fuse_filtered,
             tracking_rate=1, budget=budget, alloc_budget=alloc_budget,
             noise_weighted=args.noise_weighted)
         state, aux = fn(state, jnp.asarray(depths[i]), kj, jnp.int32(i))
@@ -105,12 +114,18 @@ def main():
         if not args.alloc_budget and int(aux.get("alloc_overflow", 0)) > 0:
             alloc_budget = min(2 * alloc_budget,
                                geom.blocks_per_side ** 3)
-        if i % 10 == 0 or i == args.frames - 1:
-            print(f"  f{i:4d} err={err:.4f} m blocks={nb}",
-                  file=sys.stderr)
+        if i % args.print_every == 0 or i == args.frames - 1:
+            red = np.asarray(aux.get("reduction"))
+            rms = float(np.sqrt(red[0] / max(red[28], 1.0)))
+            print(f"  f{i:4d} err={err:.4f} m blocks={nb} "
+                  f"trk={int(aux['tracked'])} inl={int(red[28])} "
+                  f"rms={rms:.4f}", file=sys.stderr)
     wall = time.perf_counter() - t0
 
     gt_xyz = np.asarray([p[:3, 3] for p in poses])
+    if args.traj_out:
+        np.savez(args.traj_out, est=np.asarray(est), gt=gt_xyz,
+                 gt_poses=np.asarray(poses))
     st = ate_statistics(gt_xyz, np.asarray(est))
     print(f"frames={args.frames} wall={wall:.1f}s "
           f"tracked={tracked_n}/{args.frames} drops={drops}",
