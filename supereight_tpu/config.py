@@ -48,6 +48,14 @@ class Configuration:
     # noise_weighted; off = reference's constant-1 weights)
     noise_weighted: bool = False
 
+    # fuse the FILTERED depth instead of raw (noise-grade option; the
+    # reference fuses raw — see parallel/step.py fuse_filtered)
+    fuse_filtered: bool = False
+
+    # drop ICP reference pixels whose hit voxel has fused fewer than
+    # this many observations (0 = off, reference behavior)
+    min_ref_weight: float = 0.0
+
     # io
     input_file: str = ""
     log_file: str = ""
@@ -90,10 +98,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-l", "--icp-threshold", type=float, default=1e-5)
     p.add_argument("-k", "--camera", type=str, default="")
     p.add_argument("-F", "--bilateral-filter", action="store_true")
-    p.add_argument("--filter", choices=["none", "bilateral", "median"],
+    p.add_argument("--filter",
+                   choices=["none", "bilateral", "median", "median2"],
                    default="",
                    help="input depth filter (--filter median is the "
                         "noise-grade option; -F = bilateral)")
+    p.add_argument("--fuse-filtered", action="store_true",
+                   help="integrate the filtered depth (noise-grade "
+                        "deviation; reference fuses raw)")
+    p.add_argument("--min-ref-weight", type=float, default=0.0,
+                   help="ICP ignores reference pixels with map weight "
+                        "below this (0 = off)")
     p.add_argument("--noise-weighted", action="store_true",
                    help="sigma(z)-scaled TSDF fusion weights for noisy "
                         "range sensors (deviation from the reference's "
@@ -135,6 +150,8 @@ def config_from_args(args) -> Configuration:
         filter_input=(args.filter if args.filter and args.filter != "none"
                       else args.bilateral_filter),
         noise_weighted=args.noise_weighted,
+        fuse_filtered=args.fuse_filtered,
+        min_ref_weight=args.min_ref_weight,
         camera=cam,
         field=args.field,
         depth_interp=args.depth_interp,

@@ -35,6 +35,10 @@ def _preprocess_and_pyramid(depth_m, k, levels: int, neg_y: bool,
     preprocess.median_filter3)."""
     if filter_input == "median":
         d0 = preprocess.median_filter3(depth_m)
+    elif filter_input == "median2":
+        # iterated 3x3 median: ~2x more sigma reduction than one pass
+        # while still edge-preserving (for heavy z^2 range noise)
+        d0 = preprocess.median_filter3(preprocess.median_filter3(depth_m))
     elif filter_input:
         d0 = preprocess.bilateral_filter(depth_m)
     else:
@@ -174,8 +178,12 @@ class DenseSLAMSystem:
             b = self.geom.blocks_per_side
             self._alloc_budget = min(2 * self._alloc_budget, b ** 3)
         timestamp = (1.0 / 30.0) * frame
+        # fuse_filtered: see parallel/step.py — noise-grade deviation
+        # (the reference fuses the raw float_depth_)
+        fuse_depth = (self.pyr[0][0] if self.config.fuse_filtered
+                      else self.float_depth)
         self.map, istats = integration.integrate(
-            self.geom, self.map, self.field, self.float_depth, self.pose,
+            self.geom, self.map, self.field, fuse_depth, self.pose,
             self.k, self.config.mu, timestamp, self.computation_size,
             self._budget_bucket(), depth_interp=self.config.depth_interp,
             with_stats=True,
@@ -198,6 +206,15 @@ class DenseSLAMSystem:
             self.geom, self.map, self.field, view, self.config.mu,
             self.computation_size, prime_t=prime, with_stats=True,
             pool_bucket=self._budget_bucket())
+        if self.config.min_ref_weight > 0:
+            # map-maturity ICP gate (see parallel/step.py min_ref_weight)
+            from supereight_tpu.core.map import get_voxel_channel_c
+            iv = self.geom.inv_voxel_size
+            hv = jnp.floor(self.vertex * iv).astype(jnp.int32)
+            w_ref = get_voxel_channel_c(
+                self.geom, self.map, self.field, hv[..., 0], hv[..., 1],
+                hv[..., 2], channel=1, fill=0.0)
+            self.valid = self.valid & (w_ref >= self.config.min_ref_weight)
         self.stats = dict(self.stats, ray_overflow=rstats["ray_overflow"])
         return True
 
