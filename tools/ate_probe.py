@@ -119,7 +119,8 @@ def main():
             rms = float(np.sqrt(red[0] / max(red[28], 1.0)))
             print(f"  f{i:4d} err={err:.4f} m blocks={nb} "
                   f"trk={int(aux['tracked'])} inl={int(red[28])} "
-                  f"rms={rms:.4f}", file=sys.stderr)
+                  f"rms={rms:.4f} rayovf={int(aux.get('ray_overflow', 0))}",
+                  file=sys.stderr)
     wall = time.perf_counter() - t0
 
     gt_xyz = np.asarray([p[:3, 3] for p in poses])

@@ -114,16 +114,29 @@ def main():
             from supereight_tpu.io.convert import synthetic2raw
             synthetic2raw(raw_n, args.frames, scene="loop",
                           noise_factor=args.noise)
-        log = os.path.join(wd, "tsdf_noisy.log")
-        name = f"tsdf icp noise={args.noise}"
-        r = run_one(raw_n, raw_n + ".gt.txt",
-                    ["-f", "tsdf", "-m", "0.1"], log, args.frames)
-        print(f"  -> noisy rc={r['rc']} ate={r['ate']}", file=sys.stderr)
-        with open(os.path.join(results_dir,
-                               name.replace(" ", "_") + ".json"),
-                  "w") as f:
-            json.dump({"name": name, **{k: v for k, v in r.items()
-                                        if k != "stderr"}}, f)
+        noise_variants = [
+            (f"tsdf icp noise={args.noise}",
+             ["-f", "tsdf", "-m", "0.1"]),
+            # the r5 noise-grade stack (EVAL noise note): iterated
+            # median input filter fused into the map, map-maturity ICP
+            # gate, sigma(z)-weighted fusion, pool sized for the
+            # noise-inflated surface band
+            (f"tsdf icp noise={args.noise}+levers",
+             ["-f", "tsdf", "-m", "0.1", "--filter", "median2",
+              "--fuse-filtered", "--min-ref-weight", "4",
+              "--noise-weighted", "--block-capacity", "49152"]),
+        ]
+        for name, extra in noise_variants:
+            log = os.path.join(wd, name.replace(" ", "_").replace("+", "_")
+                               + ".log")
+            r = run_one(raw_n, raw_n + ".gt.txt", extra, log, args.frames)
+            print(f"  -> {name} rc={r['rc']} ate={r['ate']}",
+                  file=sys.stderr)
+            with open(os.path.join(results_dir,
+                                   name.replace(" ", "_") + ".json"),
+                      "w") as f:
+                json.dump({"name": name, **{k: v for k, v in r.items()
+                                            if k != "stderr"}}, f)
 
     # render every result recorded in the workdir so far
     rows = []
