@@ -690,13 +690,16 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     # gather penalty (~3.4x, CLAUDE.md law 3) only applies to the rare
     # straggler batch itself.
     tail_steps = max(0, max_steps - done_budget)
-    # 4096 covers the straggler population of frames with a few percent
-    # of zero-depth (beyond-range) pixels — those rays march COLD
-    # inside a primed frame and overflow the late-stage budgets (the
-    # 250-frame loop eval measured ~1.3k such rays/frame); the tail is
-    # scalar-cond-skipped on clean frames so the larger budget costs
-    # nothing there
-    tail_budget = min(n, 4096)
+    # Sized for the grazing-skim burst, not the average: frames whose
+    # zero-depth (beyond-range) pixels march COLD inside a primed frame
+    # can put 8-25k rays into a grazing crawl along a slab (the r4 250-
+    # frame eval's f75-78 burst, 49.9k misses) — far beyond the narrow
+    # late-stage budgets AND the old 4096 tail. The tail is scalar-
+    # cond-skipped on clean frames (246 of 250 in the loop eval), so a
+    # burst-sized budget costs nothing outside the burst; inside it the
+    # rolled loop early-exits as the crawl-escalated floor (see
+    # make_body) finishes the rays.
+    tail_budget = min(n, 32768)
     if tail_steps > 0:
         def tail(packed):
             wl = _compact(n, tail_budget, packed[:, 4] == 0)
