@@ -118,7 +118,10 @@ def main():
             if is_tsdf:
                 f_tt = jnp.where(active & known, mx, f_tt)
                 f_t = jnp.where(active & known & ~hit, mx, f_t)
-                floor = step * (1.0 + jnp.minimum(crawl * 0.125, 3.0))
+                esc = jnp.maximum(crawl - 16.0, 0.0)
+                floor = jnp.minimum(
+                    step * (1.0 + jnp.minimum(esc * 0.125, 3.0)),
+                    jnp.maximum(jnp.float32(step), 0.4 * mu))
                 known_step = jnp.maximum(f_tt * mu, floor)
                 fine = known
             else:
