@@ -65,6 +65,11 @@ class Configuration:
     # capacity of the voxel-block pool; None = heuristic from resolution
     block_capacity: Optional[int] = None
 
+    # floor for the integration/strips budget bucket (0 = adaptive
+    # doubling): presetting it to the expected final block count avoids
+    # the bucket recompile ladder on remote TPU (~90 s per doubling)
+    preset_budget: int = 0
+
     def resolve_capacity(self) -> int:
         if self.block_capacity is not None:
             return self.block_capacity
@@ -120,6 +125,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--dump-volume", type=str, default="")
     p.add_argument("-g", "--groundtruth", type=str, default="")
     p.add_argument("--block-capacity", type=int, default=None)
+    p.add_argument("--preset-budget", type=int, default=0)
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--depth-interp", action="store_true",
                    help="bilinear inverse-depth fusion sampling "
@@ -160,4 +166,5 @@ def config_from_args(args) -> Configuration:
         dump_volume_file=args.dump_volume,
         groundtruth_file=args.groundtruth,
         block_capacity=args.block_capacity,
+        preset_budget=args.preset_budget,
     )

@@ -150,7 +150,7 @@ class DenseSLAMSystem:
         budget every frame. Integration cost is dominated by the
         per-voxel depth strip fetch ([budget, 512] rows), so this bound
         is the stage's cost knob."""
-        n = max(int(self.map.n_blocks), 1)
+        n = max(int(self.map.n_blocks), 1, self.config.preset_budget)
         bucket = 1024
         while bucket < n:
             bucket *= 2
@@ -173,8 +173,11 @@ class DenseSLAMSystem:
         # self-sizing allocation bucket (the reference allocates ALL
         # candidate octants, octree.hpp:792-817): an overflowing frame
         # doubles the bucket for subsequent frames — one recompile per
-        # doubling; the overflowed cells are re-touched next frame
-        if int(astats["alloc_overflow"]) > 0:
+        # doubling; the overflowed cells are re-touched next frame.
+        # Polled every 8th frame: the scalar fetch is a remote-runtime
+        # round trip, and the bucket reaction can lag a few frames
+        # (overflowed cells stay observed and re-touch).
+        if frame % 8 == 0 and int(astats["alloc_overflow"]) > 0:
             b = self.geom.blocks_per_side
             self._alloc_budget = min(2 * self._alloc_budget, b ** 3)
         timestamp = (1.0 / 30.0) * frame
