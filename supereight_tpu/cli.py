@@ -152,6 +152,7 @@ def main(argv=None):
     print(LOG_HEADER, file=log)
 
     est_traj = []
+    raw_traj = []            # (frame, as-tracked pose) for post-BA output
     log_rows = []
     frame = 0
     t_start = time.perf_counter()
@@ -209,6 +210,13 @@ def main(argv=None):
         pipe.raycasting(frame)
         if sync:
             np.asarray(pipe.valid)
+        # keyframe recording + windowed BA + loop closure (the pose-
+        # graph layer; process_frame does this too — the CLI drives
+        # stages individually and must call it itself, r5 fix: BA was
+        # silently a no-op in every CLI run before)
+        if pipe.keyframes is not None and tracked \
+                and not args.groundtruth_mode and frame > 2:
+            pipe._keyframe_step(frame)
         t_ray = time.perf_counter()
 
         # render views every rendering_rate frames (ref benchmark.cpp's
@@ -288,6 +296,7 @@ def main(argv=None):
         P = pipe.trajectory_correction @ pose_np
         q = rotation_to_quaternion(P[:3, :3])
         est_traj.append((frame / 30.0, *P[:3, 3], *q))
+        raw_traj.append((frame, pose_np))
         frame += 1
 
     wall = time.perf_counter() - t_start
@@ -309,6 +318,22 @@ def main(argv=None):
             np.asarray([p[:3, 3] for p in gt_poses[:frame]]),
             est_xyz=np.asarray([r[1:4] for r in est_traj]))
         print(f"# stats plot: {args.plot_out}", file=sys.stderr)
+
+    if pipe.keyframes is not None and raw_traj:
+        # FINAL post-BA trajectory (what offline SLAM evaluation
+        # scores): retro-apply each frame's nearest keyframe's BA
+        # correction — the online stream above only carries corrections
+        # forward from the moment they were computed
+        corr = pipe.keyframes.frame_corrections()
+        if corr:
+            kf_frames = np.asarray([c[0] for c in corr])
+            final = []
+            for f, P0 in raw_traj:
+                ki = int(np.argmin(np.abs(kf_frames - f)))
+                P = corr[ki][1] @ P0
+                q = rotation_to_quaternion(P[:3, :3])
+                final.append((f / 30.0, *P[:3, 3], *q))
+            est_traj = final
 
     if args.trajectory_out:
         with open(args.trajectory_out, "w") as f:

@@ -242,7 +242,8 @@ def check_pose(pose, old_pose, reduction, image_size,
 def track(pose, raycast_pose, k_full, pyr_vertex, pyr_normal, pyr_valid,
           ref_vertex, ref_normal, ref_valid,
           iterations: Sequence[int], icp_threshold,
-          axis_name=None, n_shards: int = 1):
+          axis_name=None, n_shards: int = 1,
+          dist_threshold=DIST_THRESHOLD):
     """Full coarse-to-fine ICP (DenseSLAMSystem::tracking, 143-189).
 
     pyr_*: tuples of per-level maps, finest first. Returns
@@ -285,7 +286,8 @@ def track(pose, raycast_pose, k_full, pyr_vertex, pyr_normal, pyr_valid,
             pose, reduction, result, done = c
             res, err, jac = track_residuals(iv, inorm, ival, ref_vertex,
                                             ref_normal, ref_valid, pose,
-                                            view, ref_packed=ref_packed)
+                                            view, ref_packed=ref_packed,
+                                            dist_threshold=dist_threshold)
             red = reduce_tracking(res, err, jac)
             if axis_name is not None:
                 red = jax.lax.psum(red, axis_name)

@@ -251,7 +251,8 @@ class DenseSLAMSystem:
     # ------------------------------------------------------------------
     def enable_keyframes(self, every: int = 10, window: int = 32,
                          ba_every: int = 4, loop_closure: bool = True,
-                         reanchor: bool = False):
+                         reanchor: bool = False,
+                         closure_dist: float = 1.0):
         """Turn on keyframe recording + windowed BA.
 
         ``every``: keyframe cadence in frames. ``ba_every``: optimize the
@@ -269,6 +270,11 @@ class DenseSLAMSystem:
         self._ba_every = ba_every
         self._loop_closure = loop_closure
         self._reanchor = reanchor
+        # revisit radius (m): must exceed keyframe spacing along the
+        # trajectory or a loop that closes BETWEEN keyframes never
+        # finds a candidate (the r5 no-closure bug on the 250-frame
+        # loop: nearest keyframe 0.89 m away with the old 0.5 default)
+        self._closure_dist = closure_dist
         self._pending_ba = False
 
     def _keyframe_step(self, frame: int):
@@ -279,14 +285,28 @@ class DenseSLAMSystem:
             return
         idx = len(km.poses) - 1
         if self._loop_closure:
-            cand = km.nearest_revisit(self.pose)
+            cand = km.nearest_revisit(self.pose,
+                                      max_dist=self._closure_dist)
             if cand is not None and km.ref_maps[cand] is not None:
                 rv, rn, rok = (jnp.asarray(m) for m in km.ref_maps[cand])
                 _, verts, norms, valids = self.pyr
+                # the loop-closure tracker runs with a RELAXED
+                # residual gate (3x the reference's 0.1 m tracking
+                # threshold): a closure exists precisely because the
+                # live pose has drifted decimeters from the revisited
+                # keyframe, and the default gate rejects every residual
+                # of that size before ICP can pull it in
                 pose_lc, ok_lc, red, _ = tracking.track(
                     self.pose, jnp.asarray(km.poses[cand]), self.k,
                     verts, norms, valids, rv, rn, rok,
-                    self._iterations, self.config.icp_threshold)
+                    self._iterations, self.config.icp_threshold,
+                    dist_threshold=3.0 * C.DIST_THRESHOLD)
+                import sys
+                print(f"# loop-closure try kf{cand}<-kf{idx} "
+                      f"ok={bool(ok_lc)} "
+                      f"inl={int(np.asarray(red)[28])} "
+                      f"|dp|={np.linalg.norm(np.asarray(pose_lc)[:3, 3] - np.asarray(self.pose)[:3, 3]):.3f}",
+                      file=sys.stderr)
                 if bool(ok_lc):
                     t_meas = (np.linalg.inv(km.poses[cand])
                               @ np.asarray(pose_lc))

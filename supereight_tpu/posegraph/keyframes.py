@@ -24,7 +24,10 @@ class KeyframeManager:
         self.keyframe_every = keyframe_every
         self.max_edges = max_edges
         self.max_pinned = max_pinned
-        self.poses = []          # list of np [4,4]
+        self.poses = []          # list of np [4,4] (BA-optimized in place)
+        self.orig_poses = []     # as-tracked poses (never optimized) —
+        #                          per-keyframe corrections for the final
+        #                          trajectory are poses[i] @ inv(orig[i])
         self.frames = []         # frame index per keyframe
         self.edges = []          # (i, j, T_meas np[4,4], weight)
         self.ref_maps = []       # optional (vertex, normal, valid) per kf
@@ -47,6 +50,7 @@ class KeyframeManager:
         pose = np.asarray(pose, np.float32)
         idx = len(self.poses)
         self.poses.append(pose)
+        self.orig_poses.append(pose.copy())
         self.frames.append(frame)
         self.ref_maps.append(
             None if ref_maps is None
@@ -100,6 +104,7 @@ class KeyframeManager:
         keep = [i for i in range(n) if i not in evict]
         remap = {old: new for new, old in enumerate(keep)}
         self.poses = [self.poses[i] for i in keep]
+        self.orig_poses = [self.orig_poses[i] for i in keep]
         self.frames = [self.frames[i] for i in keep]
         self.ref_maps = [self.ref_maps[i] for i in keep]
         self.pinned = [self.pinned[i] for i in keep]
@@ -176,3 +181,18 @@ class KeyframeManager:
             return np.eye(4, dtype=np.float32)
         return (np.asarray(self.poses[-1], np.float32)
                 @ np.linalg.inv(self.pre_opt_latest)).astype(np.float32)
+
+
+    def frame_corrections(self):
+        """Per-keyframe (frame_index, correction [4,4]) pairs: the rigid
+        transform BA has applied to each surviving keyframe
+        (optimized @ inv(as-tracked)). For the FINAL trajectory output:
+        apply each frame's nearest keyframe's correction — the offline
+        post-BA trajectory every SLAM evaluation scores (the online
+        stream only carries corrections forward in time)."""
+        out = []
+        for f, opt, orig in zip(self.frames, self.poses, self.orig_poses):
+            out.append((f, (np.asarray(opt)
+                            @ np.linalg.inv(np.asarray(orig))).astype(
+                                np.float32)))
+        return out

@@ -152,3 +152,28 @@ def test_nearest_revisit_orientation_gate():
     back[0, 0] = back[2, 2] = -1.0
     assert km.nearest_revisit(back) is None
     assert km.nearest_revisit(fwd) is not None
+
+
+def test_frame_corrections_identity_before_optimize():
+    """frame_corrections: identity until BA moves keyframes; after a
+    closure-driven optimize the corrections are the rigid transforms
+    applied per keyframe (used for the FINAL trajectory output,
+    cli.py r5)."""
+    import numpy as np
+    from supereight_tpu.posegraph.keyframes import KeyframeManager
+    km = KeyframeManager(window=8, keyframe_every=1)
+    rng = np.random.default_rng(3)
+    for f in range(5):
+        P = np.eye(4, dtype=np.float32)
+        P[:3, 3] = [f * 0.1, 0, 0]
+        km.maybe_add(f, P)
+    for f, C in km.frame_corrections():
+        np.testing.assert_allclose(C, np.eye(4), atol=1e-6)
+    # inject a closure pulling the last keyframe back 0.1 and optimize
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = 0.3   # kf0 -> kf4 measured as 0.3 (odometry says 0.4)
+    km.add_loop_closure(0, 4, T, weight=10.0)
+    km.optimize()
+    corr = dict(km.frame_corrections())
+    assert abs(corr[4][0, 3]) > 0.01     # last keyframe moved
+    np.testing.assert_allclose(corr[0], np.eye(4), atol=1e-4)  # anchor
