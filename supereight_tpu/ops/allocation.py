@@ -160,20 +160,27 @@ def ofusion_touched_masks(geom, depth, pose, k, mu: float,
         max_dist = geom.dim * math.sqrt(3.0)
     travelled, sample_levels = ofusion_step_ladder(geom, band, max_dist)
 
-    depth = depth[::2, ::2]     # 2x2 pixel subsample (see tsdf_touched_mask)
-    (wvx, wvy, wvz), (dx, dy, dz), camera = _pixel_rays_c_sub(depth, pose,
-                                                              k, 2, x_offset)
-    ox = wvx - (band * 0.5) * dx
-    oy = wvy - (band * 0.5) * dy
-    oz = wvz - (band * 0.5) * dz
-    dist = jnp.sqrt((camera[0] - ox) ** 2 + (camera[1] - oy) ** 2
-                    + (camera[2] - oz) ** 2)
-
     b = geom.blocks_per_side
     masks = {}
-    valid0 = depth > 0
     for lvl in sorted(set(sample_levels)):
         side = b >> lvl
+        # per-level pixel stride: the fine band level samples 2x2 (see
+        # tsdf_touched_mask); the COARSE free-space levels sample 8x8 —
+        # a level-1/2 octant is 16-32 voxels across, so 2px-spaced rays
+        # land in the same octants thousands of times over, and TPU
+        # scatters cost per UPDATE (the level-2 touched scatter alone
+        # measured 3.7 ms in the fused frame). An octant grazed by no
+        # sparse ray this frame is re-touched the next while observed.
+        stride = 2 if lvl == 0 else 8
+        dsub = depth[::stride, ::stride]
+        (wvx, wvy, wvz), (dx, dy, dz), camera = _pixel_rays_c_sub(
+            dsub, pose, k, stride, x_offset)
+        ox = wvx - (band * 0.5) * dx
+        oy = wvy - (band * 0.5) * dy
+        oz = wvz - (band * 0.5) * dz
+        dist = jnp.sqrt((camera[0] - ox) ** 2 + (camera[1] - oy) ** 2
+                        + (camera[2] - oz) ** 2)
+        valid0 = dsub > 0
         ids = []
         for i, l in enumerate(sample_levels):
             if l != lvl:
@@ -182,8 +189,17 @@ def ofusion_touched_masks(geom, depth, pose, k, mu: float,
             ids.append(_touched_cell_ids(
                 geom, lvl, ox + dx * t, oy + dy * t, oz + dz * t,
                 valid0 & (t < dist)))
+        stacked = jnp.stack(ids)
+        # consecutive same-ray samples mostly stay in one octant at the
+        # coarse levels: route duplicates to the drop bucket (scatters
+        # cost per update — same dedup as tsdf_touched_mask)
+        if stacked.shape[0] > 1:
+            dup = stacked[1:] == stacked[:-1]
+            stacked = jnp.concatenate(
+                [stacked[:1],
+                 jnp.where(dup, side ** 3, stacked[1:])])
         flat = jnp.zeros((side ** 3 + 1,), bool)
-        flat = flat.at[jnp.stack(ids).reshape(-1)].set(True, mode="drop")
+        flat = flat.at[stacked.reshape(-1)].set(True, mode="drop")
         masks[lvl] = flat[:-1].reshape(side, side, side)
     for lvl in (0, 1, 2):
         if lvl not in masks:

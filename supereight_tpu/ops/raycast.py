@@ -690,19 +690,10 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
     # gather penalty (~3.4x, CLAUDE.md law 3) only applies to the rare
     # straggler batch itself.
     tail_steps = max(0, max_steps - done_budget)
-    # Sized for the grazing-skim burst, not the average: frames whose
-    # zero-depth (beyond-range) pixels march COLD inside a primed frame
-    # can put 8-25k rays into a grazing crawl along a slab (the r4 250-
-    # frame eval's f75-78 burst, 49.9k misses) — far beyond the narrow
-    # late-stage budgets AND the old 4096 tail. The tail is scalar-
-    # cond-skipped on clean frames (246 of 250 in the loop eval), so a
-    # burst-sized budget costs nothing outside the burst; inside it the
-    # rolled loop early-exits as the crawl-escalated floor (see
-    # make_body) finishes the rays.
-    tail_budget = min(n, 32768)
-    if tail_steps > 0:
+
+    def make_tail(budget, steps):
         def tail(packed):
-            wl = _compact(n, tail_budget, packed[:, 4] == 0)
+            wl = _compact(n, budget, packed[:, 4] == 0)
             wlc = jnp.maximum(wl, 0)
             rows = packed[wlc]
             sub_status = jnp.where(wl >= 0, rows[:, 4],
@@ -714,10 +705,10 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
                              None if zcos is None else rows[:, 10])
             # single-body bounded while_loop: ONE probe body to compile
             # (an unrolled or chunk-unrolled tail ballooned XLA compile
-            # time); per-step rolled-gather penalty (~3.4x) applies only
-            # to this <=4096-lane straggler batch
+            # time); rolled-loop gathers cost ~3.4x (CLAUDE.md law 3)
+            # but the loop early-exits when every lane resolves
             out = jax.lax.while_loop(
-                lambda c: (c[0] < tail_steps) & jnp.any(c[1][4] == 0),
+                lambda c: (c[0] < steps) & jnp.any(c[1][4] == 0),
                 lambda c: (c[0] + 1, body(c[1])),
                 (jnp.int32(0), sub))[1]
             new_rows = jnp.concatenate(
@@ -726,9 +717,28 @@ def _march(geom, state, field, origin, dx, dy, dz, tnear, tfar, mu,
                  rows[:, 6:]], axis=-1)
             return packed.at[jnp.where(wl >= 0, wl, n)].set(new_rows,
                                                             mode="drop")
+        return tail
 
-        packed = jax.lax.cond(jnp.any(packed[:, 4] == 0), tail,
-                              lambda p: p, packed)
+    if tail_steps > 0:
+        # TWO-TIER straggler tail (r5). Tier A is sized for the grazing-
+        # skim BURST: frames whose zero-depth pixels march COLD inside a
+        # primed frame can put 8-28k rays into a grazing crawl along a
+        # slab (the r4 250-frame eval's f75-78 burst, 49.9k misses) —
+        # far beyond any narrow stage. It runs only when the live count
+        # is actually burst-sized (cond on count > 4096): a wide rolled
+        # loop costs ~0.2 ms per iteration, and the ~100-iteration
+        # crawl would cost ~25 ms if it ran on the few-hundred-straggler
+        # frames too (measured: a single always-on 32k tail was the
+        # missing ~25 ms of the fused OFusion frame). Tier B is the r4
+        # narrow tail for the ordinary straggler population; it runs
+        # whenever anyone is live. Budget overflow is still counted.
+        live0 = jnp.sum((packed[:, 4] == 0).astype(jnp.int32))
+        packed = jax.lax.cond(
+            live0 > 4096, make_tail(min(n, 32768), min(tail_steps, 96)),
+            lambda p: p, packed)
+        packed = jax.lax.cond(
+            jnp.any(packed[:, 4] == 0), make_tail(min(n, 4096), tail_steps),
+            lambda p: p, packed)
 
     t, ss, f_t, f_tt = (packed[:, 0], packed[:, 1], packed[:, 2],
                         packed[:, 3])
@@ -788,12 +798,12 @@ def raycast(geom, state, field, view, mu, frame_size, max_steps=None,
     plus a stats dict (``ray_overflow``: rays still live past the march
     budget — they miss this frame) when ``with_stats``.
 
-    ``max_steps`` is the true per-ray step bound: the tuned compaction
-    cascade covers 96 fine steps primed / 112 cold (_CASCADE_*, with
-    empty-space jumps of up to MAX_JUMP blocks per step), and rays
-    still live after it continue in the cond-gated straggler tail up to
-    ``max_steps``. Only rays exceeding max_steps (or the tail's
-    4096-ray compaction budget) miss the frame, counted in
+    ``max_steps`` is the true per-ray step bound: rays still live after
+    the tuned compaction cascade (_CASCADE_*, with empty-space jumps of
+    up to MAX_JUMP blocks per step) continue in the two-tier cond-gated
+    straggler tail (32768-wide burst tier when >4096 rays are live,
+    then the 4096-wide tier up to ``max_steps``). Only rays exceeding
+    max_steps or both tail budgets miss the frame, counted in
     ``ray_overflow``.
     """
     w, h = frame_size
