@@ -772,6 +772,14 @@ def prime_from_depth(depth, k):
     frame: t = depth * |invK (x, y, 1)| (the pixel-ray length at unit
     z). Zero where depth is missing. Feed to :func:`raycast` when the
     raycast pose equals the depth frame's pose.
+
+    The result sits behind an optimization_barrier: when this is traced
+    into the SAME program as the raycast (the fused frame step), XLA
+    fuses the producer into the priming/cascade consumers and the whole
+    raycast schedule degrades ~2x (r5 bisection: the identical raycast
+    measured 17.4 ms with prime as a program input or barrier'd, 36.3 ms
+    with it fused in — tools/slice_c_bisect.py). The barrier is an
+    identity, so single/dist parity is unaffected.
     """
     h, w = depth.shape
     fx, fy, cx, cy = k[0], k[1], k[2], k[3]
@@ -781,7 +789,8 @@ def prime_from_depth(depth, k):
     ux = (px - cx) / fx
     uy = (py - cy) / fy
     t = depth * jnp.sqrt(ux * ux + uy * uy + 1.0)
-    return jnp.where(depth > 0, t, 0.0).reshape(-1)
+    return jax.lax.optimization_barrier(
+        jnp.where(depth > 0, t, 0.0).reshape(-1))
 
 
 @functools.partial(jax.jit, static_argnames=("geom", "field", "frame_size",
