@@ -31,7 +31,8 @@ def run_one(raw, gt, extra, log_file, max_frames):
            "-s", "4.8", "-p", "0.5,0.4583,0.18", "-z", "4", "-c", "2",
            "-r", "1", "-t", "1", "-v", "512",
            "-k", "481.2,480,320,240", "-y", "10,5,4",
-           "--max-frames", str(max_frames), "--no-stage-sync"] + extra
+           "--max-frames", str(max_frames), "--no-stage-sync",
+           "--preset-budget", "36864"] + extra
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
     proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
@@ -124,7 +125,17 @@ def main():
             (f"tsdf icp noise={args.noise}+levers",
              ["-f", "tsdf", "-m", "0.1", "--filter", "median2",
               "--fuse-filtered", "--min-ref-weight", "4",
-              "--noise-weighted", "--block-capacity", "49152"]),
+              "--noise-weighted", "--block-capacity", "49152",
+              "--preset-budget", "49152"]),
+            # the BA-pays-its-way row: partial levers leave a drift
+            # regime (~0.2 m offset slide); loop closure + windowed BA
+            # recovers it in the final trajectory (r5)
+            (f"tsdf icp noise={args.noise}+BA",
+             ["-f", "tsdf", "-m", "0.1", "--filter", "median",
+              "--fuse-filtered", "--keyframe-rate", "15", "-z", "0"]),
+            (f"tsdf icp noise={args.noise} partial-levers (BA baseline)",
+             ["-f", "tsdf", "-m", "0.1", "--filter", "median",
+              "--fuse-filtered", "-z", "0"]),
         ]
         for name, extra in noise_variants:
             log = os.path.join(wd, name.replace(" ", "_").replace("+", "_")
