@@ -85,7 +85,7 @@ def main():
 
     variants = [
         ("tsdf icp", ["-f", "tsdf", "-m", "0.1"]),
-        ("ofusion icp", ["-f", "ofusion", "-m", "0.008"]),
+        ("ofusion icp", ["-f", "ofusion", "-m", "0.008", "-z", "0"]),
         ("tsdf icp+BA", ["-f", "tsdf", "-m", "0.1",
                          "--keyframe-rate", "15"]),
     ]
@@ -109,7 +109,9 @@ def main():
             json.dump({"name": name, **{k: v for k, v in r.items()
                                         if k != "stderr"}}, f)
 
-    if args.noise > 0 and (not args.variant or args.variant == "noise"):
+    if args.noise > 0 and (not args.variant
+                           or args.variant.startswith("tsdf icp noise")
+                           or args.variant == "noise"):
         raw_n = os.path.join(wd, "loop_noisy.raw")
         if not os.path.exists(raw_n):
             from supereight_tpu.io.convert import synthetic2raw
@@ -138,6 +140,8 @@ def main():
               "--fuse-filtered", "-z", "0"]),
         ]
         for name, extra in noise_variants:
+            if args.variant and args.variant not in ("noise", name):
+                continue
             log = os.path.join(wd, name.replace(" ", "_").replace("+", "_")
                                + ".log")
             r = run_one(raw_n, raw_n + ".gt.txt", extra, log, args.frames)
