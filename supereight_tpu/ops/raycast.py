@@ -15,9 +15,10 @@ marching table under the ~96 MB fast-gather threshold):
   gather per probe yields both addressing and the safe empty-space jump,
   replacing the reference's octree ray iterator
   (ray_iterator.hpp:116-226).
-* ``strips`` — the pool re-rowed as x-lines, a PAIR of bf16
+* ``strips`` — the pool re-rowed as x-lines, a PAIR of
   [(cap+1)*64, 8] tables (brick x-line; next-x brick's x-line — see
-  build_strips): weight-0 voxels carry an UNKNOWN sentinel, row block 0
+  build_strips; f32 rows up to 16k bricks, bf16 above — strips_dtype):
+  weight-0 voxels carry an UNKNOWN sentinel, row block 0
   is the sentinel brick for unallocated cells. A march probe is
   nav-gather + one left-row gather + vectorized lane select; a
   trilinear stencil needs 4 row-index computations with (left, right)
@@ -29,9 +30,9 @@ marching table under the ~96 MB fast-gather threshold):
   reference's bracket interpolation + 4^3-ladder gradient
   (octree.hpp:652-737), documented: inside a cell the trilinear Newton
   step equals the reference's zero-crossing solve, and the cell gradient
-  is the exact gradient of the interpolant; bf16 march/interp storage
-  adds <1 mm surface noise. The exact reference gradient remains in
-  core/interp.py for the Volume API and tests.)
+  is the exact gradient of the interpolant; the bf16 fallback for
+  big tables adds <1 mm surface noise. The exact reference gradient
+  remains in core/interp.py for the Volume API and tests.)
 * Rays march in lockstep, fully unrolled on TPU (rolled on CPU —
   utils/loops.bounded_steps), in a compaction cascade: a short
   full-image pass, then unfinished rays compact into geometrically
@@ -193,7 +194,8 @@ def strips_dtype(n_bricks):
 
 
 def build_strips(geom, state, field, bucket=None):
-    """bf16 [(bucket+1)*64, 16] marching/interp strips: each row is a
+    """[(bucket+1)*64, 16] marching/interp strips (dtype from
+    strips_dtype): each row is a
     brick's x-line (lanes 0-7, strip id y + 8z) concatenated with the
     NEXT-x brick's same x-line (lanes 8-15; sentinel at map edge /
     unallocated), so both a march probe and an (x, x+1) trilinear pair
@@ -218,8 +220,8 @@ def build_strips(geom, state, field, bucket=None):
     sentinel (the reference's y == 0 check, kfusion raycast unknown
     skip); interpolation decodes sentinel -> the field's init x, which
     equals the reference's empty()/init fill (octree.hpp:542-563,
-    652-737) AND the stored value of never-updated voxels. bf16
-    storage adds <1 mm surface noise (documented deviation).
+    652-737) AND the stored value of never-updated voxels. The bf16
+    fallback adds <1 mm surface noise (documented deviation).
     """
     cap = geom.capacity if bucket is None else min(bucket, geom.capacity)
     b = geom.blocks_per_side

@@ -24,10 +24,12 @@ Design (shard_map over a 1-D mesh of D devices):
   a psum (ops/tracking.track axis_name mode) — the distributed ICP
   reduction of the north star.
 
-* **Allocation** evaluates the touched-block grid replicated (it only
-  needs depth + pose), masks it to the device's morton range, and
-  allocates into the local pool. A psum-OR of local occupancy keeps the
-  replicated mip existence masks globally consistent.
+* **Allocation** marches the touched-block bands on each device's OWN
+  image columns (allocation.py x_offset), unions the per-device grids
+  with a psum-OR (~0.26 MB — exact match of the full-image mask, r5),
+  masks the union to the device's morton range, and allocates into the
+  local pool. A psum-OR of local occupancy keeps the replicated mip
+  existence masks globally consistent.
 
 * **Integration** is fully local: each device fuses its own blocks from
   the gathered depth. Zero map communication.
@@ -37,7 +39,7 @@ Design (shard_map over a 1-D mesh of D devices):
   brick) pairs; one all-gather builds the frame's global halo table,
   from which every device constructs the nav grid + strip pair
   (ops/raycast format) and marches the rays of its own image columns.
-  Halo traffic = blocks-in-frustum x 2 KB (bf16), counted in aux.
+  Halo traffic = blocks-in-frustum x 2-4 KB (strips_dtype), counted in aux.
   ``frustum_halo=False`` exchanges ALL allocated blocks instead (exact;
   used by the equivalence tests).
 
@@ -345,7 +347,8 @@ def make_dist_step(mesh: Mesh, geom: MapGeometry, field, *, frame_size,
                              lmap.data_x[slots]).astype(dt)
             vals = jnp.where(present[:, None], vals, jnp.asarray(unk, dt))
 
-            # the halo all-gather: D x halo_budget bricks (2 KB bf16 each)
+            # the halo all-gather: D x halo_budget bricks (2-4 KB each,
+            # dtype per raycast.strips_dtype)
             cells_g = jax.lax.all_gather(cells, AXIS, tiled=True)
             vals_g = jax.lax.all_gather(vals, AXIS, axis=0, tiled=True)
             nhalo = cells_g.shape[0]
