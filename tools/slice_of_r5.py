@@ -26,8 +26,8 @@ def main():
 
     W, H = 320, 240
     geom = MapGeometry(size=512, dim=4.8, capacity=36864)
-    field = get_field("ofusion")
-    mu = 0.008
+    field = get_field(os.environ.get("SE_FIELD", "ofusion"))
+    mu = 0.1 if field.name == "tsdf" else 0.008
     k = (240.6, 240.0, 160.0, 120.0)
     depths, poses = synthetic.orbit_sequence(
         10, k, width=W, height=H, radius=0.3 * 4.8,
@@ -69,7 +69,9 @@ def main():
     @jax.jit
     def slice_b(mp, d0_, d, p, fr, trk):
         do_integrate = (trk | (fr <= 3)) & (((fr % 1) == 0) | (fr <= 3))
-        m2, astats = allocation.allocate_ofusion(
+        alloc_fn = (allocation.allocate_ofusion if field.multiscale_alloc
+                    else allocation.allocate_tsdf)
+        m2, astats = alloc_fn(
             geom, mp, d0_, p, kj, mu, with_stats=True, when=do_integrate)
         new_map, istats = integration.integrate(
             geom, m2, field, d, p, kj, mu,
