@@ -168,7 +168,10 @@ def frame_step(geom, field, state: FrameState, depth_m, k, frame,
         geom, new_map, field, view, mu, frame_size,
         prime_t=prime, with_stats=True, pool_bucket=budget)
 
-    if min_ref_weight > 0:
+    if min_ref_weight > 0 and field.name == "tsdf":
+        # (TSDF only: channel 1 is the fusion WEIGHT there; for OFusion
+        # it is the last-update timestamp, which is not a maturity
+        # measure — the flag is a no-op for occupancy)
         # map-maturity gate (noise-grade option, no reference
         # counterpart): drop reference pixels whose hit voxel has fused
         # fewer than min_ref_weight observations. Under z^2 sensor

@@ -209,7 +209,7 @@ class DenseSLAMSystem:
             self.geom, self.map, self.field, view, self.config.mu,
             self.computation_size, prime_t=prime, with_stats=True,
             pool_bucket=self._budget_bucket())
-        if self.config.min_ref_weight > 0:
+        if self.config.min_ref_weight > 0 and self.field.name == "tsdf":
             # map-maturity ICP gate (see parallel/step.py min_ref_weight)
             from supereight_tpu.core.map import get_voxel_channel_c
             iv = self.geom.inv_voxel_size
